@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.time.{PointInTime, TranscriptGen}
+
+/** End-to-end drive of the library through its public API (forked JVM —
+  * `sbt "runMain graft.tools.Drive"`). Prints what it observes; used by the
+  * project verify recipe. Not part of the driver contract.
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t = TranscriptGen.generate(spark, 200, 20, 42)
+    println("TURNS=" + t.count())
+    val f = PointInTime.baseFeatures(t.toDF())
+    f.orderBy("conv_id", "turn_idx").show(8, truncate = false)
+    println("FEATROWS=" + f.count())
+    println("EMPTY=" + PointInTime.baseFeatures(TranscriptGen.generate(spark, 0, 20, 1).toDF()).count())
+    val g0 = PointInTime.baseFeatures(t.toDF(), gapSecs = 0L)
+    println("G0_BAD=" + g0.filter(col("turns_in_session") =!= 1 && col("secs_since_prev") > 0).count())
+    f.explain("formatted")
+    spark.stop()
+  }
+}
