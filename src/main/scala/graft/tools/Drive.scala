@@ -29,6 +29,19 @@ object Drive {
     val g0 = PointInTime.baseFeatures(t.toDF(), gapSecs = 0L)
     println("G0_BAD=" + g0.filter(col("turns_in_session") =!= 1 && col("secs_since_prev") > 0).count())
     f.explain("formatted")
+
+    // M1: symbolic IR -> Column over real data
+    {
+      import graft.expr._
+      val x = Var("text_len"); val y = Var("turns_so_far")
+      val e1 = F.mul(F.sqrt(x), F.recip(y))       // sqrt(text_len)/turns_so_far
+      val e2 = F.sub(F.log(x), F.sq(y))
+      val e3 = F.mul(x, F.recip(x))               // collapses to 1
+      println("NAMES=" + Seq(e1, e2, e3).map(_.name).mkString(" | "))
+      val cols = Seq(e1, e2).map(ex =>
+        Compile.toColumn(ex, n => col(n).cast("double")).as(ex.name))
+      f.select(cols: _*).show(3, truncate = false)
+    }
     spark.stop()
   }
 }
