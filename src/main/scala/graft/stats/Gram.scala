@@ -1,0 +1,197 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Accumulated second-order statistics of a feature block (+ optional target):
+  * n, Σx, upper-triangular ΣxxT, Σxy, Σy, Σy² — one pass, tree-reduced.
+  *
+  * This is the distributed backbone for the reference's dense linear algebra:
+  * correlation matrices (featsel.py:267, autofeatlight.py:41-43,
+  * feateng.py:397-412) and the Lasso normal equations (featsel.py:66,110,147)
+  * all derive from it. Buffer size is d(d+3)/2+3 doubles — keep d ≲ 2000 per
+  * Gram (the selection path operates on the admission-controlled subsample
+  * and on chunked column subsets, so this bound holds by construction).
+  */
+final class Gram(val d: Int) extends Serializable {
+  var n: Long = 0L
+  val sx = new Array[Double](d)
+  val sxy = new Array[Double](d)
+  val sxx = new Array[Double](d * (d + 1) / 2) // packed upper triangle, row-major
+  var sy: Double = 0.0
+  var syy: Double = 0.0
+
+  @inline def idx(i: Int, j: Int): Int = {
+    // i <= j
+    i * d - i * (i - 1) / 2 + (j - i)
+  }
+
+  def xx(i: Int, j: Int): Double = if (i <= j) sxx(idx(i, j)) else sxx(idx(j, i))
+
+  def add(x: Array[Double], y: Double): this.type = {
+    n += 1
+    var i = 0
+    var p = 0
+    while (i < d) {
+      val xi = x(i)
+      sx(i) += xi
+      sxy(i) += xi * y
+      var j = i
+      while (j < d) {
+        sxx(p) += xi * x(j)
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    sy += y
+    syy += y * y
+    this
+  }
+
+  def merge(o: Gram): this.type = {
+    require(o.d == d)
+    n += o.n
+    var i = 0
+    while (i < d) { sx(i) += o.sx(i); sxy(i) += o.sxy(i); i += 1 }
+    i = 0
+    while (i < sxx.length) { sxx(i) += o.sxx(i); i += 1 }
+    sy += o.sy
+    syy += o.syy
+    this
+  }
+
+  def mean(i: Int): Double = sx(i) / n
+  def meanY: Double = sy / n
+
+  /** Population variance (ddof=0, numpy np.var / nanstd default). */
+  def varPop(i: Int): Double = { val m = mean(i); sxx(idx(i, i)) / n - m * m }
+  def stdPop(i: Int): Double = math.sqrt(math.max(0.0, varPop(i)))
+  def varPopY: Double = { val m = meanY; syy / n - m * m }
+
+  /** Centered covariance cov(i,j) * n (population scaled by n). */
+  def cov(i: Int, j: Int): Double = xx(i, j) / n - mean(i) * mean(j)
+
+  /** Pearson correlation of columns i and j. */
+  def corr(i: Int, j: Int): Double = {
+    val den = stdPop(i) * stdPop(j)
+    if (den == 0.0) Double.NaN else cov(i, j) / den
+  }
+
+  def corrWithY(i: Int): Double = {
+    val c = sxy(i) / n - mean(i) * meanY
+    val den = stdPop(i) * math.sqrt(math.max(0.0, varPopY))
+    if (den == 0.0) Double.NaN else c / den
+  }
+
+  /** Full |corr| matrix (d x d, diagonal = 1). */
+  def absCorrMatrix: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      m(i)(i) = 1.0
+      var j = i + 1
+      while (j < d) { val c = math.abs(corr(i, j)); m(i)(j) = c; m(j)(i) = c; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** Gram restricted to a column subset (driver-side, cheap). */
+  def subset(cols: Array[Int]): Gram = {
+    val g = new Gram(cols.length)
+    g.n = n; g.sy = sy; g.syy = syy
+    var i = 0
+    while (i < cols.length) {
+      g.sx(i) = sx(cols(i)); g.sxy(i) = sxy(cols(i))
+      var j = i
+      while (j < cols.length) { g.sxx(g.idx(i, j)) = xx(cols(i), cols(j)); j += 1 }
+      i += 1
+    }
+    g
+  }
+}
+
+object Gram {
+
+  /** One-pass Gram over feature columns (cast to double). Rows with any
+    * null/NaN among the selected columns are skipped (fit-path data is
+    * finite by construction; this guards stray bad rows).
+    * When `foldCol` is given (values 0..k-1), returns one Gram per fold.
+    */
+  def compute(df: DataFrame, featureCols: Seq[String], targetCol: Option[String] = None,
+              foldCol: Option[String] = None, k: Int = 1): Array[Gram] = {
+    val d = featureCols.size
+    val cols = foldCol.map(col(_).cast("int")).toSeq ++
+      targetCol.map(col(_).cast("double")).toSeq ++
+      featureCols.map(c => col(c).cast("double"))
+    val hasY = targetCol.isDefined
+    val hasFold = foldCol.isDefined
+    val nFolds = if (hasFold) k else 1
+    val yOff = if (hasFold) 1 else 0
+    val xOff = yOff + (if (hasY) 1 else 0)
+    val zero = Array.fill(nFolds)(new Gram(d))
+    df.select(cols: _*).rdd.treeAggregate(zero)(
+      seqOp = (acc, row: Row) => {
+        var bad = false
+        val x = new Array[Double](d)
+        var i = 0
+        while (i < d && !bad) {
+          if (row.isNullAt(xOff + i)) bad = true
+          else {
+            x(i) = row.getDouble(xOff + i)
+            if (x(i).isNaN) bad = true
+          }
+          i += 1
+        }
+        val y = if (hasY && !row.isNullAt(yOff)) row.getDouble(yOff) else 0.0
+        if (hasY && (row.isNullAt(yOff) || y.isNaN)) bad = true
+        if (!bad) {
+          val f = if (hasFold) row.getInt(0) % nFolds else 0
+          acc(f).add(x, y)
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < nFolds) { a(i).merge(b(i)); i += 1 }; a },
+      depth = 2
+    )
+  }
+
+  def total(folds: Array[Gram]): Gram =
+    folds.reduce((a, b) => { val c = new Gram(a.d); c.merge(a); c.merge(b); c })
+}
+
+/** NaN-aware per-column scaling statistics (reference nb_utils.py:25-37:
+  * nanmean / nanstd with ddof=0). Pure SQL aggregates — one job, no RDD.
+  */
+object Scaling {
+  final case class Stats(mean: Array[Double], stdPop: Array[Double], stdSamp: Array[Double], count: Array[Long])
+
+  def stats(df: DataFrame, cols: Seq[String]): Stats = {
+    val exprs = cols.flatMap { c =>
+      val v = when(col(c).isNull || isnan(col(c).cast("double")), lit(null)).otherwise(col(c).cast("double"))
+      Seq(avg(v).as(s"m_$c"), stddev_pop(v).as(s"sp_$c"), stddev_samp(v).as(s"ss_$c"), count(v).as(s"n_$c"))
+    }
+    val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val k = cols.size
+    val m = new Array[Double](k); val sp = new Array[Double](k)
+    val ss = new Array[Double](k); val n = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      m(i) = Option(r.get(4 * i)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      sp(i) = Option(r.get(4 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      ss(i) = Option(r.get(4 * i + 2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      n(i) = r.getLong(4 * i + 3)
+      i += 1
+    }
+    Stats(m, sp, ss, n)
+  }
+
+  /** Project columns to nan-aware standard scores: (x - nanmean) / nanstd. */
+  def scaled(df: DataFrame, cols: Seq[String], st: Stats): DataFrame = {
+    val proj = cols.zipWithIndex.map { case (c, i) =>
+      ((col(c).cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(c)
+    }
+    df.select(proj: _*)
+  }
+}
