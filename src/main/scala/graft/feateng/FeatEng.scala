@@ -1,0 +1,340 @@
+package graft.feateng
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.expr.{F, FExpr, Var}
+
+/** Spark-native port of the reference's feature-synthesis engine
+  * (feateng.py:96-416 `engineer_features`): alternating waves of unary
+  * transforms and pairwise combinations with data-dependent guards,
+  * finite/variance/parent-correlation acceptance filters, symbolic dedup by
+  * canonical name, and final structural pruning.
+  *
+  * Physical shape per wave: (a) ONE chunked aggregate job computing the
+  * guards (min/max/zero-count/≤2-distinct) for every input feature, (b) one
+  * wide `select` materializing all candidate columns as float32 (whole-stage
+  * codegen; shuffle-free), (c) ONE chunked aggregate job computing the
+  * finite/variance/corr acceptance stats for every candidate. All planning
+  * decisions happen on the driver. At 10^12-row scale this runs on the
+  * admission-controlled subsample (autofeat.py:321-344); only the winning
+  * features are ever evaluated on the full table.
+  *
+  * Features are stored as float32 columns (feateng.py:145) so transform
+  * chains see float32-rounded parents like the reference does.
+  */
+final case class FeatEngConfig(
+    maxSteps: Int = 2,
+    transformations: Seq[String] = FeatEng.defaultTransformations,
+    aggChunkSize: Int = 300
+)
+
+final case class EngineeredFrame(
+    df: DataFrame,
+    /** All output columns in order: originals then surviving new features. */
+    columns: Seq[String],
+    /** Filtered feature pool: start symbols + surviving formulas. */
+    pool: Map[String, FExpr],
+    /** Surviving engineered (non-original) column names, in df order. */
+    newCols: Seq[String]
+)
+
+object FeatEng {
+  val defaultTransformations: Seq[String] = Seq("1/", "exp", "log", "abs", "sqrt", "^2", "^3")
+
+  private def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
+
+  /** Per-feature guard statistics (one pass A + one pass B, chunked). */
+  private final case class GStats(min: Double, max: Double, zeros: Long, le2distinct: Boolean)
+
+  /** Guard predicates (feateng.py:194-208), evaluated on driver from GStats. */
+  private def guardOk(ft: String, s: GStats): Boolean = ft match {
+    case "exp"  => s.max < 10
+    case "exp-" => -s.min < 10
+    case "log"  => s.min >= 0
+    case "abs"  => s.min < 0 // any(x<0), else |x| is a no-op
+    case "sqrt" => s.min >= 0
+    case "sin" | "cos" | "1+" | "1-" => true
+    case "2^"   => s.max < 50
+    case "^2"   => math.max(math.abs(s.min), math.abs(s.max)) < 1e6
+    case "^3"   => math.max(math.abs(s.min), math.abs(s.max)) < 1e4
+    case "1/"   => s.zeros == 0
+    case other  => throw new IllegalArgumentException(s"unknown transformation $other")
+  }
+
+  /** Column-level evaluation of a transform on the (float32) parent column —
+    * mirrors the numba kernels applied to the parent's stored values.
+    */
+  private def transformCol(ft: String, c: Column): Column = {
+    val d = c.cast("double")
+    ft match {
+      case "1/"   => lit(1.0) / d
+      case "exp"  => exp(d)
+      case "exp-" => exp(-d)
+      case "log"  => log(d)
+      case "abs"  => abs(d)
+      case "sqrt" => sqrt(d)
+      case "sin"  => sin(d)
+      case "cos"  => cos(d)
+      case "2^"   => pow(lit(2.0), d)
+      case "^2"   => d * d
+      case "^3"   => d * d * d
+      case "1+"   => lit(1.0) + d
+      case "1-"   => lit(1.0) - d
+    }
+  }
+
+  private def combineCol(fc: String, a: Column, b: Column): Column = {
+    val (x, y) = (a.cast("double"), b.cast("double"))
+    fc match {
+      case "x+y" => x + y
+      case "x*y" => x * y
+      case "x-y" => x - y
+      case "y-x" => y - x
+    }
+  }
+
+  private def chunked[T](xs: Seq[T], size: Int): Seq[Seq[T]] =
+    xs.grouped(size).toSeq
+}
+
+final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
+  import FeatEng._
+
+  /** Candidate acceptance stats: finite violations, Σx, Σx², Σ(x·parent_i). */
+  private final case class CandStats(bad: Long, sum: Double, sumSq: Double, cross: Seq[Double])
+
+  /** Runs the full synthesis. `df` must contain `startCols` as numeric
+    * columns and only finite values in them (fit-path contract).
+    */
+  def engineerFeatures(dfIn: DataFrame, startCols: Seq[String]): EngineeredFrame = {
+    require(startCols.nonEmpty, "no start features")
+    val pool = mutable.LinkedHashMap[String, FExpr]()
+    startCols.zipWithIndex.foreach { case (c, i) => pool(c) = Var(F.colToSymbol(c, i)) }
+    // symbol name -> column name for parent lookups
+    val symToCol = mutable.HashMap[String, String]()
+    startCols.zipWithIndex.foreach { case (c, i) => symToCol(F.colToSymbol(c, i)) = c }
+
+    if (cfg.maxSteps < 1) {
+      val out = dfIn.select(startCols.map(q): _*)
+      return EngineeredFrame(out, startCols, pool.toMap, Nil)
+    }
+
+    // working frame: float32 feature columns named by canonical formula name
+    var df = dfIn.select(startCols.map(c => q(c).cast("float").as(c)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dfCols: Vector[String] = startCols.toVector
+    val uncorr = mutable.HashSet[String](startCols: _*)
+    val nRows = df.count()
+
+    /** exprName for a pool entry keyed by column name. */
+    def nameOf(expr: FExpr): String = expr.name
+
+    // ---------------------------------------------------------- guards
+    def guardStats(feats: Seq[String]): Map[String, GStats] = {
+      val minMaxZero = chunked(feats, cfg.aggChunkSize).flatMap { group =>
+        val aggs = group.flatMap { c =>
+          val d = q(c).cast("double")
+          Seq(min(d).as(s"mn"), max(d).as(s"mx"),
+            sum(when(d === 0.0, 1L).otherwise(0L)).as(s"z"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        group.zipWithIndex.map { case (c, i) =>
+          c -> (Option(r.get(3 * i)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
+            Option(r.get(3 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
+            r.getLong(3 * i + 2))
+        }
+      }.toMap
+      // pass B: exact <=2-distinct via count of values != min and != max
+      val le2 = chunked(feats, cfg.aggChunkSize).flatMap { group =>
+        val aggs = group.map { c =>
+          val d = q(c).cast("double")
+          val (mn, mx, _) = minMaxZero(c)
+          sum(when(d =!= lit(mn) && d =!= lit(mx), 1L).otherwise(0L)).as("o")
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        group.zipWithIndex.map { case (c, i) => c -> (r.getLong(i) == 0L) }
+      }.toMap
+      feats.map { c =>
+        val (mn, mx, z) = minMaxZero(c)
+        c -> GStats(mn, mx, z, le2(c))
+      }.toMap
+    }
+
+    // ------------------------------------------ candidate acceptance pass
+    /** Evaluate candidate columns on top of the current frame, compute
+      * acceptance stats, and return accepted (name -> uncorrFlag) in order.
+      * Each candidate: (name, column, parents).
+      */
+    def acceptWave(cands: Seq[(String, Column, Seq[String])]): Seq[(String, Boolean)] = {
+      if (cands.isEmpty) return Nil
+      val waveDf = df.select(dfCols.map(q) ++ cands.map { case (n, c, _) => c.cast("float").as(n) }: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // parent moments (computed once per distinct parent)
+      val parents = cands.flatMap(_._3).distinct
+      val pStats = mutable.HashMap[String, (Double, Double)]() // mean, stdPop
+      chunked(parents, cfg.aggChunkSize).foreach { group =>
+        val aggs = group.flatMap { p =>
+          val d = q(p).cast("double")
+          Seq(avg(d).as("m"), stddev_pop(d).as("s"))
+        }
+        val r = waveDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+        group.zipWithIndex.foreach { case (p, i) =>
+          pStats(p) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }
+      }
+      val stats = mutable.HashMap[String, CandStats]()
+      chunked(cands, math.max(50, cfg.aggChunkSize / 3)).foreach { group =>
+        val aggs = group.flatMap { case (n, _, ps) =>
+          val f = q(n) // float col
+          val d = f.cast("double")
+          val bad = sum(when(f.isNull || isnan(f) || f === lit(Float.PositiveInfinity) ||
+            f === lit(Float.NegativeInfinity), 1L).otherwise(0L)).as("b")
+          Seq(bad, sum(d).as("s"), sum(d * d).as("ss")) ++
+            ps.map(p => sum(d * q(p).cast("double")).as("x"))
+        }
+        val r = waveDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+        var off = 0
+        group.foreach { case (n, _, ps) =>
+          val bad = r.getLong(off)
+          val s = if (r.isNullAt(off + 1)) Double.NaN else r.getDouble(off + 1)
+          val ss = if (r.isNullAt(off + 2)) Double.NaN else r.getDouble(off + 2)
+          val cross = ps.indices.map(i =>
+            if (r.isNullAt(off + 3 + i)) Double.NaN else r.getDouble(off + 3 + i))
+          stats(n) = CandStats(bad, s, ss, cross)
+          off += 3 + ps.size
+        }
+      }
+      val accepted = cands.flatMap { case (n, _, ps) =>
+        val st = stats(n)
+        if (st.bad > 0) None
+        else {
+          val mean = st.sum / nRows
+          val varPop = st.sumSq / nRows - mean * mean
+          if (!(varPop > 1e-10)) None
+          else {
+            val corrs = ps.zip(st.cross).map { case (p, sxy) =>
+              val (pm, psd) = pStats(p)
+              val cov = sxy / nRows - mean * pm
+              val den = math.sqrt(math.max(0.0, varPop)) * psd
+              if (den == 0.0) Double.NaN else math.abs(cov / den)
+            }
+            val maxCorr = if (corrs.isEmpty) 0.0 else corrs.max
+            // NaN correlation rejects, like the reference's `corr < 1.0`
+            if (!maxCorr.isNaN && maxCorr < 1.0) Some((n, maxCorr < 0.95)) else None
+          }
+        }
+      }
+      // materialize accepted, drop rejected
+      val keep = accepted.map(_._1)
+      val newDf = waveDf.select((dfCols ++ keep).map(q): _*).persist(StorageLevel.MEMORY_AND_DISK)
+      newDf.count() // materialize before dropping the parent cache
+      df.unpersist()
+      waveDf.unpersist()
+      df = newDf
+      dfCols = dfCols ++ keep
+      accepted
+    }
+
+    // ------------------------------------------------- transform wave
+    def applyTransformations(featuresList: Seq[String]): Seq[String] = {
+      if (featuresList.isEmpty) return Nil
+      val gs = guardStats(featuresList)
+      val cands = mutable.ArrayBuffer[(String, Column, Seq[String])]()
+      featuresList.foreach { feat =>
+        val s = gs(feat)
+        if (!s.le2distinct) { // skip "categorical" (<=2 distinct) features
+          cfg.transformations.foreach { ft =>
+            if (guardOk(ft, s)) {
+              val expr = F.unaryTransforms(ft)(pool(feat))
+              val name = nameOf(expr)
+              if (!pool.contains(name)) {
+                pool(name) = expr // pool grows even if acceptance later fails
+                cands += ((name, transformCol(ft, q(feat)), Seq(feat)))
+              }
+            }
+          }
+        }
+      }
+      val accepted = acceptWave(cands.toSeq)
+      accepted.foreach { case (n, u) => if (u) uncorr += n }
+      accepted.map(_._1)
+    }
+
+    // ----------------------------------------------- combination wave
+    def featureCombinations(tuples: Seq[(String, String)], isLastStep: Boolean): Seq[String] = {
+      if (tuples.isEmpty) return Nil
+      // only x*y on the final step: additive roots get pruned anyway
+      val combos = if (isLastStep) Seq("x*y") else Seq("x+y", "x*y", "x-y", "y-x")
+      val cands = mutable.ArrayBuffer[(String, Column, Seq[String])]()
+      tuples.foreach { case (f1, f2) =>
+        combos.foreach { fc =>
+          val expr = F.binaryCombiners(fc)(pool(f1), pool(f2))
+          val name = nameOf(expr)
+          if (!pool.contains(name)) {
+            pool(name) = expr
+            cands += ((name, combineCol(fc, q(f1), q(f2)), Seq(f1, f2)))
+          }
+        }
+      }
+      val accepted = acceptWave(cands.toSeq)
+      accepted.foreach { case (n, u) => if (u) uncorr += n }
+      accepted.map(_._1)
+    }
+
+    // --------------------------------------------------- main loop
+    // (feateng.py:341-383)
+    var steps = 1
+    var originalFeatures: Vector[String] = pool.keys.toVector
+    originalFeatures = originalFeatures ++ applyTransformations(originalFeatures)
+    steps += 1
+    var newFeatures: Vector[String] = Vector()
+    var newNewFeatures: Vector[String] = Vector()
+    if (steps <= cfg.maxSteps) {
+      val pairs = for {
+        i <- originalFeatures.indices
+        j <- (i + 1) until originalFeatures.size
+      } yield (originalFeatures(i), originalFeatures(j))
+      newFeatures = featureCombinations(pairs, steps == cfg.maxSteps).toVector
+      steps += 1
+    }
+    while (steps <= cfg.maxSteps) {
+      newFeatures = newFeatures ++ applyTransformations(newFeatures)
+      steps += 1
+      if (steps <= cfg.maxSteps) {
+        val pairs = for (o <- originalFeatures; n <- newFeatures) yield (o, n)
+        newNewFeatures = featureCombinations(pairs, steps == cfg.maxSteps).toVector
+        steps += 1
+      }
+      if (steps <= cfg.maxSteps) {
+        val pairs = for {
+          i <- newFeatures.indices
+          j <- (i + 1) until newFeatures.size
+        } yield (newFeatures(i), newFeatures(j))
+        newNewFeatures = newNewFeatures ++ featureCombinations(pairs, steps == cfg.maxSteps)
+        steps += 1
+        originalFeatures = originalFeatures ++ newFeatures
+        newFeatures = newNewFeatures
+        newNewFeatures = Vector()
+      }
+    }
+
+    // --------------------------------- final structural pruning (385-416)
+    val filteredPool = pool.filter { case (n, e) => uncorr.contains(n) && !e.isAddRooted }
+    var cols = dfCols.filter(c => filteredPool.contains(c) && !startCols.contains(c))
+    if (cols.nonEmpty) {
+      // correlation vs START features: |corr| >= 0.9 drops the new feature
+      val cg = graft.stats.CrossGram.compute(df, cols, startCols)
+      cols = cols.zipWithIndex.filter { case (_, i) =>
+        val m = (0 until startCols.size).map(j => math.abs(cg.corr(i, j))).max
+        m < 0.9 // NaN drops, matching the reference's `corrs[c] < 0.9`
+      }.map(_._1)
+    }
+    val outCols = startCols.toVector ++ cols
+    val out = df.select(outCols.map(q): _*)
+    EngineeredFrame(out, outCols, filteredPool.toMap, cols)
+  }
+}

@@ -42,6 +42,16 @@ object Drive {
         Compile.toColumn(ex, n => col(n).cast("double")).as(ex.name))
       f.select(cols: _*).show(3, truncate = false)
     }
+    // M4: synthesis engine over real transcript base features
+    {
+      import graft.feateng._
+      val feats = Seq("text_len", "secs_since_prev", "turns_so_far", "cum_tool_calls")
+      val base = f.select(feats.map(c => col(c).cast("double")): _*)
+      val res = new FeatEng(FeatEngConfig(maxSteps = 2)).engineerFeatures(base, feats)
+      println(s"ENGINEERED=${res.newCols.size} cols from ${feats.size} base features")
+      println("SAMPLE_NAMES=" + res.newCols.take(6).mkString(" | "))
+      res.df.select(res.columns.take(8).map(c => col(s"`$c`")): _*).show(3)
+    }
     spark.stop()
   }
 }

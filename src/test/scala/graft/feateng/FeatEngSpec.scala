@@ -1,0 +1,70 @@
+package graft.feateng
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Parity of our synthesis engine vs goldens produced by running the
+  * REFERENCE feateng.py itself (tools/gen_feateng_golden.py) on the F2
+  * fixture (seed 15, n=1000).
+  */
+class FeatEngSpec extends SparkSpec {
+
+  private def fixture(name: String) =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  lazy val input = spark.read.parquet(fixture("f2_input.parquet")).cache()
+
+  private def runSteps(steps: Int): (EngineeredFrame, Seq[String], Seq[String]) = {
+    val eng = new FeatEng(FeatEngConfig(maxSteps = steps))
+    val res = eng.engineerFeatures(input.withColumn("rid", col("row_id")), Seq("x1", "x2", "x3"))
+    val lines = scala.io.Source.fromFile(fixture(s"f2_steps${steps}_cols.txt")).getLines().toList
+    val goldenCols = lines.head.split('\t').toSeq
+    val goldenPool = lines(1).split('\t').toSeq
+    (res, goldenCols, goldenPool)
+  }
+
+  private def checkValues(steps: Int, res: EngineeredFrame): Unit = {
+    // join on row_id is unavailable (engine drops extra cols); instead rely on
+    // deterministic input order within this single-partition fixture read:
+    // re-run the projection over input WITH row_id via the pool formulas
+    val golden = spark.read.parquet(fixture(s"f2_steps${steps}_golden.parquet"))
+    val gCols = golden.columns.filter(_ != "row_id").toSeq
+    val exprCols = res.newCols
+    assert(exprCols.toSet.subsetOf(gCols.toSet))
+    // compute our values straight from the formulas (float32 at each node is
+    // approximated by end-to-end double math; allclose rtol 1e-5)
+    import graft.expr.{Compile, F}
+    val sym2col = Map("x1" -> "x1", "x2" -> "x2", "x3" -> "x3")
+    val ours = input.select(col("row_id") +: exprCols.zipWithIndex.map { case (n, i) =>
+      val e = res.pool(n)
+      Compile.toColumn(e, s => col(sym2col(s)).cast("double")).as(s"o_$i")
+    }: _*)
+    val joined = ours.join(golden, "row_id")
+    val checks = exprCols.zipWithIndex.map { case (n, i) =>
+      val a = col(s"o_$i")
+      val b = col(s"`$n`").cast("double")
+      max(abs(a - b) / greatest(abs(b), lit(1e-6))).as(s"e_$i")
+    }
+    val r = joined.agg(checks.head, checks.tail: _*).collect()(0)
+    exprCols.zipWithIndex.foreach { case (n, i) =>
+      val relErr = r.getDouble(i)
+      assert(relErr < 1e-4, s"column '$n' max rel err $relErr")
+    }
+  }
+
+  test("steps=1: engineered column set and order match the reference") {
+    val (res, goldenCols, goldenPool) = runSteps(1)
+    assert(res.columns == goldenCols)
+    assert(res.pool.keySet == goldenPool.toSet)
+    checkValues(1, res)
+  }
+
+  test("steps=2: engineered column set and order match the reference") {
+    val (res, goldenCols, goldenPool) = runSteps(2)
+    assert(res.columns.toSet == goldenCols.toSet,
+      s"missing=${goldenCols.toSet -- res.columns.toSet} extra=${res.columns.toSet -- goldenCols.toSet}")
+    assert(res.columns == goldenCols) // insertion order too
+    assert(res.pool.keySet == goldenPool.toSet)
+    checkValues(2, res)
+  }
+}

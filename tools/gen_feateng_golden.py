@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Generate golden fixtures from the REFERENCE feateng implementation.
+
+Produces, for the F2 regression fixture (tests/test_autofeat.py:8-16, seed 15):
+- src/test/resources/fixtures/f2_input.parquet  (row_id, x1, x2, x3, target)
+- src/test/resources/fixtures/f2_steps{N}_golden.parquet (row_id + all
+  engineered columns, float32) for N in {1, 2}
+- src/test/resources/fixtures/f2_steps{N}_cols.txt (output column order +
+  full filtered pool names)
+"""
+import sys
+
+sys.path.insert(0, "tools")
+import ref_shim  # noqa: F401  (installs numba/sklearn/pint shims)
+
+sys.path.insert(0, "/root/reference/src")
+import numpy as np
+import pandas as pd
+from autofeat.feateng import engineer_features
+
+OUT = "src/test/resources/fixtures"
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    np.random.seed(15)
+    x1 = np.random.rand(1000)
+    x2 = np.random.randn(1000)
+    x3 = np.random.rand(1000)
+    target = 2 + 15 * x1 + 3 / (x2 - 1 / x3) + 5 * (x2 + np.log(x1)) ** 3
+    dfin = pd.DataFrame({"x1": x1, "x2": x2, "x3": x3})
+    inp = dfin.copy()
+    inp.insert(0, "row_id", np.arange(len(inp)))
+    inp["target"] = target
+    inp.to_parquet(f"{OUT}/f2_input.parquet", index=False)
+
+    for steps in (1, 2):
+        df, pool = engineer_features(dfin.copy(), max_steps=steps, verbose=0)
+        golden = df.copy()
+        golden.insert(0, "row_id", np.arange(len(golden)))
+        golden.to_parquet(f"{OUT}/f2_steps{steps}_golden.parquet", index=False)
+        with open(f"{OUT}/f2_steps{steps}_cols.txt", "w") as fh:
+            fh.write("\t".join(map(str, df.columns)) + "\n")
+            fh.write("\t".join(map(str, pool.keys())) + "\n")
+        print(f"steps={steps}: {len(df.columns)} cols, pool={len(pool)}")
+
+
+if __name__ == "__main__":
+    main()
