@@ -1,0 +1,199 @@
+package graft.select
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.stats.{Gram, Scaling}
+
+/** Multi-run noise-filtered feature selection — Spark-native rebuild of the
+  * reference featsel.py `select_features` / `_select_features_1run` /
+  * `_noise_filtering` control flow.
+  *
+  * Distribution strategy: each selection run aggregates ONE set of per-fold
+  * Grams over [features | shuffled-copy noise | gaussian noise | y] on its
+  * 85% row subsample; every Lasso fit inside the run (initial, chunked
+  * scans, noise filters) is then a driver-side coordinate-descent on Gram
+  * submatrices (GramLasso). Two more Gram passes on the full scaled frame
+  * serve the correlation filter and the final noise filter. So a full
+  * 5-run selection costs ~7 tree-reduced jobs over the (admission-bounded)
+  * subsample — the 10^12-row table is never touched here.
+  *
+  * Documented deviations from the reference (SURVEY.md §7.4.3): our own RNG
+  * (not numpy MT19937); the shuffled-noise copy permutes each column
+  * independently (reference permutes the flattened pool; both preserve
+  * per-run marginals and break the X→y link); one noise draw per run is
+  * reused by that run's fits rather than redrawn per fit.
+  */
+object FeatSel {
+
+  final case class Config(
+      featselRuns: Int = 5,
+      keep: Seq[String] = Nil,
+      problemType: String = "regression",
+      folds: Int = 5,
+      seed: Long = 0L
+  )
+
+  private def q(c: String) = col(s"`${c.replace("`", "``")}`")
+
+  /** Adds per-column row-shuffled copies of `cols` named `__shuf_i`. */
+  private[select] def withShuffledCopy(df: DataFrame, cols: Seq[String], seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val left = df.rdd.zipWithIndex().map(_.swap)
+    val right = df.select(cols.map(q): _*).orderBy(rand(seed)).rdd.zipWithIndex().map(_.swap)
+    val joined = left.join(right).map { case (_, (a, b)) => Row.fromSeq(a.toSeq ++ b.toSeq) }
+    val schema = StructType(df.schema.fields ++
+      cols.indices.map(i => StructField(s"__shuf_$i", DoubleType)))
+    spark.createDataFrame(joined, schema)
+  }
+
+  /** One selection run's Gram universe: index layout over
+    * [features (d) | shuffled copies (d, optional) | gaussian (g)].
+    */
+  private final class RunGrams(
+      val lasso: GramLasso, val d: Int, val hasShuffled: Boolean, val g: Int) {
+    def featureIdx(i: Int): Int = i
+    def shufIdx(i: Int): Int = { require(hasShuffled); d + i }
+    def gaussIdx(i: Int): Int = (if (hasShuffled) 2 * d else d) + i
+  }
+
+  /** Build per-fold Grams for a frame (already holding noise columns). */
+  private def runGrams(frame: DataFrame, featCols: Seq[String], shufCols: Seq[String],
+                       gaussCols: Seq[String], targetCol: String, folds: Int): RunGrams = {
+    val all = featCols ++ shufCols ++ gaussCols
+    val withFold = frame.withColumn("__fold", pmod(monotonically_increasing_id(), lit(folds)).cast("int"))
+    val grams = Gram.compute(withFold, all, Some(targetCol), Some("__fold"), folds)
+    new RunGrams(new GramLasso(grams), featCols.size, shufCols.nonEmpty, gaussCols.size)
+  }
+
+  /** |coef| per feature subset with noise columns appended; returns the
+    * surviving subset (reference `_noise_filtering`, featsel.py:41-89).
+    * `subset` holds indices into the run's feature block.
+    */
+  private def noiseFilter(rg: RunGrams, subset: Seq[Int]): Seq[Int] = {
+    if (subset.isEmpty) return subset
+    val nGauss = math.max(3, subset.size / 2)
+    val shuf = if (rg.hasShuffled) subset.map(rg.shufIdx) else Nil
+    val gauss = (0 until math.min(nGauss, rg.g)).map(rg.gaussIdx)
+    val idx = (subset.map(rg.featureIdx) ++ shuf ++ gauss).toArray
+    val fit = rg.lasso.cvFit(idx)
+    val coefs = fit.coef.map(math.abs)
+    val noisePart = coefs.drop(subset.size)
+    val thr = if (noisePart.isEmpty) 0.0 else noisePart.max
+    subset.zipWithIndex.collect { case (c, i) if coefs(i) > thr => c }
+  }
+
+  /** Reference `_select_features_1run` (featsel.py:92-176). */
+  private def selectRun(rg: RunGrams, nRows: Long, rnd: scala.util.Random): Seq[Int] = {
+    val d = rg.d
+    // initial fit on all features (no noise)
+    val fit0 = rg.lasso.cvFit((0 until d).map(rg.featureIdx).toArray)
+    val coefs0 = fit0.coef.map(math.abs)
+    val k = math.min(d - 1, (nRows / 5).toInt)
+    val thr = coefs0.sorted(Ordering.Double.TotalOrdering.reverse).apply(k)
+    var initial: Seq[Int] = (0 until d).filter(i => coefs0(i) > thr)
+    initial = noiseFilter(rg, initial)
+    val good = mutable.LinkedHashSet[Int](initial: _*)
+    // chunked scan of the remaining columns
+    val others = rnd.shuffle(((0 until d).toSet -- initial).toVector.sorted)
+    if (others.nonEmpty) {
+      val splitCap = math.max(10.0, 0.5 * nRows - initial.size)
+      val nSplits = math.ceil(others.size / splitCap).toInt
+      val splitSize = math.ceil(others.size.toDouble / nSplits).toInt
+      val nGauss = math.max(3, initial.size / 2)
+      val shuf = if (rg.hasShuffled) initial.map(rg.shufIdx) else Nil
+      val gauss = (0 until math.min(nGauss, rg.g)).map(rg.gaussIdx)
+      for (s <- 0 until nSplits) {
+        val chunk = others.slice(s * splitSize, math.min(others.size, (s + 1) * splitSize))
+        val real = chunk ++ initial
+        val idx = (real.map(rg.featureIdx) ++ shuf ++ gauss).toArray
+        val fit = rg.lasso.cvFit(idx)
+        val coefs = fit.coef.map(math.abs)
+        val noiseThr = {
+          val np = coefs.drop(real.size)
+          if (np.isEmpty) 0.0 else np.max
+        }
+        real.zipWithIndex.foreach { case (c, i) => if (coefs(i) > noiseThr) good += c }
+      }
+    }
+    noiseFilter(rg, good.toVector.sorted)
+  }
+
+  /** Reference `select_features` (featsel.py:179-286). */
+  def selectFeatures(df: DataFrame, featureCols: Seq[String], targetCol: String,
+                     cfg: Config = Config()): Seq[String] = {
+    require(cfg.problemType == "regression",
+      "classification selection lands with the classifier pipeline")
+    val spark = df.sparkSession
+    val keep = cfg.keep.filter(featureCols.contains)
+    // scale features and target (nan-aware, ddof=0)
+    val st = Scaling.stats(df, featureCols :+ targetCol)
+    val scaled = df.select((featureCols :+ targetCol).zipWithIndex.map { case (c, i) =>
+      ((q(c).cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(c)
+    }: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val nTotal = scaled.count()
+    val d = featureCols.size
+
+    val selectedLists = (0 until math.max(0, cfg.featselRuns)).map { run =>
+      val nSub = math.max(10L, (0.85 * nTotal).toLong)
+      val sub = scaled.orderBy(rand(cfg.seed + run)).limit(nSub.toInt)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nRows = sub.count()
+      val useShuffled = nRows > 50 && d > 1
+      val frame0 = if (useShuffled) withShuffledCopy(sub, featureCols, cfg.seed * 31 + run) else sub
+      val nGaussMax = math.max(3, d / 2)
+      val gaussCols = (0 until nGaussMax).map(i => s"__gauss_$i")
+      val frame = gaussCols.zipWithIndex.foldLeft(frame0) { case (f, (c, i)) =>
+        f.withColumn(c, randn(cfg.seed * 131 + run * 17 + i))
+      }
+      val shufCols = if (useShuffled) featureCols.indices.map(i => s"__shuf_$i") else Nil
+      val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds)
+      val picked = selectRun(rg, nRows, new scala.util.Random(cfg.seed + 7919 * (run + 1)))
+      sub.unpersist()
+      picked.map(featureCols)
+    }
+
+    var goodCols: Seq[String] = featureCols
+    val flat = selectedLists.flatten
+    if (cfg.featselRuns >= 1 && flat.nonEmpty) {
+      val counts = flat.groupBy(identity).map { case (c, xs) => c -> xs.size }
+      // sort by vote frequency, longer names downweighted to break ties
+      var selected = counts.keys.toSeq.sortBy(c => -(counts(c) - 1e-6 * c.length))
+      selected = keep ++ selected.filterNot(keep.contains)
+      var good = if (keep.isEmpty) Seq(selected.head) else keep
+      val startK = good.size
+      if (selected.size > startK) {
+        // correlation filter vs ALL prior candidates in vote order
+        val g = Gram.compute(scaled, selected)(0)
+        val pos = selected.zipWithIndex.toMap
+        for (i <- startK until selected.size) {
+          val c = selected(i)
+          val maxCorr = (0 until i).map(j => math.abs(g.corr(pos(c), j))).max
+          if (maxCorr < 0.9) good = good :+ c
+        }
+      }
+      goodCols = good
+    }
+    // final noise filtering on the full scaled frame
+    if (goodCols.nonEmpty) {
+      val useShuffled = nTotal > 50 && goodCols.size > 1
+      val base = scaled.select((goodCols :+ targetCol).map(q): _*)
+      val frame0 = if (useShuffled) withShuffledCopy(base, goodCols, cfg.seed * 977 + 5) else base
+      val nGauss = math.max(3, goodCols.size / 2)
+      val gaussCols = (0 until nGauss).map(i => s"__gauss_$i")
+      val frame = gaussCols.zipWithIndex.foldLeft(frame0) { case (f, (c, i)) =>
+        f.withColumn(c, randn(cfg.seed * 677 + i))
+      }
+      val shufCols = if (useShuffled) goodCols.indices.map(i => s"__shuf_$i") else Nil
+      val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds)
+      val kept = noiseFilter(rg, goodCols.indices)
+      goodCols = kept.map(goodCols)
+    }
+    scaled.unpersist()
+    keep ++ goodCols.filterNot(keep.contains)
+  }
+}

@@ -52,6 +52,19 @@ object Drive {
       println("SAMPLE_NAMES=" + res.newCols.take(6).mkString(" | "))
       res.df.select(res.columns.take(8).map(c => col(s"`$c`")): _*).show(3)
     }
+    // M5: noise-filtered selection over engineered transcript features,
+    // planted target = 3*log(text_len) - 2/turns_so_far + noise
+    {
+      import graft.feateng._
+      import graft.select.FeatSel
+      val feats = Seq("text_len", "secs_since_prev", "turns_so_far", "cum_tool_calls")
+      val base = f.select(feats.map(c => col(c).cast("double")): _*)
+      val res = new FeatEng(FeatEngConfig(maxSteps = 1)).engineerFeatures(base, feats)
+      val withY = res.df.withColumn("y",
+        lit(3.0) * col("`log(text_len)`") - lit(2.0) * col("`1/turns_so_far`") + randn(1) * 0.01)
+      val picked = FeatSel.selectFeatures(withY, res.columns, "y")
+      println("SELECTED=" + picked.mkString(" | "))
+    }
     spark.stop()
   }
 }
