@@ -29,7 +29,11 @@ import graft.expr.{F, FExpr, Var}
 final case class FeatEngConfig(
     maxSteps: Int = 2,
     transformations: Seq[String] = FeatEng.defaultTransformations,
-    aggChunkSize: Int = 300
+    aggChunkSize: Int = 300,
+    /** Max candidate columns materialized per wave frame: bounds plan width,
+      * codegen size, and cache footprint for wide steps.
+      */
+    waveBatch: Int = 1500
 )
 
 final case class EngineeredFrame(
@@ -110,7 +114,8 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
   /** Runs the full synthesis. `df` must contain `startCols` as numeric
     * columns and only finite values in them (fit-path contract).
     */
-  def engineerFeatures(dfIn: DataFrame, startCols: Seq[String]): EngineeredFrame = {
+  def engineerFeatures(dfIn: DataFrame, startCols: Seq[String],
+                       passThrough: Seq[String] = Nil): EngineeredFrame = {
     require(startCols.nonEmpty, "no start features")
     val pool = mutable.LinkedHashMap[String, FExpr]()
     startCols.zipWithIndex.foreach { case (c, i) => pool(c) = Var(F.colToSymbol(c, i)) }
@@ -119,12 +124,13 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
     startCols.zipWithIndex.foreach { case (c, i) => symToCol(F.colToSymbol(c, i)) = c }
 
     if (cfg.maxSteps < 1) {
-      val out = dfIn.select(startCols.map(q): _*)
+      val out = dfIn.select((startCols ++ passThrough).map(q): _*)
       return EngineeredFrame(out, startCols, pool.toMap, Nil)
     }
 
     // working frame: float32 feature columns named by canonical formula name
-    var df = dfIn.select(startCols.map(c => q(c).cast("float").as(c)): _*)
+    // (+ untouched pass-through columns, e.g. the target or entity keys)
+    var df = dfIn.select(startCols.map(c => q(c).cast("float").as(c)) ++ passThrough.map(q): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dfCols: Vector[String] = startCols.toVector
     val uncorr = mutable.HashSet[String](startCols: _*)
@@ -169,9 +175,13 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       * acceptance stats, and return accepted (name -> uncorrFlag) in order.
       * Each candidate: (name, column, parents).
       */
-    def acceptWave(cands: Seq[(String, Column, Seq[String])]): Seq[(String, Boolean)] = {
+    def acceptWave(all: Seq[(String, Column, Seq[String])]): Seq[(String, Boolean)] =
+      chunked(all, cfg.waveBatch).flatMap(acceptBatch)
+
+    def acceptBatch(cands: Seq[(String, Column, Seq[String])]): Seq[(String, Boolean)] = {
       if (cands.isEmpty) return Nil
-      val waveDf = df.select(dfCols.map(q) ++ cands.map { case (n, c, _) => c.cast("float").as(n) }: _*)
+      val waveDf = df.select(dfCols.map(q) ++ passThrough.map(q) ++
+        cands.map { case (n, c, _) => c.cast("float").as(n) }: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // parent moments (computed once per distinct parent)
       val parents = cands.flatMap(_._3).distinct
@@ -230,7 +240,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       }
       // materialize accepted, drop rejected
       val keep = accepted.map(_._1)
-      val newDf = waveDf.select((dfCols ++ keep).map(q): _*).persist(StorageLevel.MEMORY_AND_DISK)
+      val newDf = waveDf.select((dfCols ++ keep ++ passThrough).map(q): _*).persist(StorageLevel.MEMORY_AND_DISK)
       newDf.count() // materialize before dropping the parent cache
       df.unpersist()
       waveDf.unpersist()
@@ -334,7 +344,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       }.map(_._1)
     }
     val outCols = startCols.toVector ++ cols
-    val out = df.select(outCols.map(q): _*)
+    val out = df.select((outCols ++ passThrough).map(q): _*)
     EngineeredFrame(out, outCols, filteredPool.toMap, cols)
   }
 }

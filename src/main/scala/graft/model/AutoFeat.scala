@@ -1,0 +1,250 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+import graft.expr.{Compile, ExprJson, F, FExpr}
+import graft.feateng.{FeatEng, FeatEngConfig}
+import graft.select.FeatSel
+import graft.stats.Gram
+
+/** Spark-native AutoFeatRegressor (reference autofeat.py:270-427):
+  * one-hot -> admission-controlled subsample -> feature synthesis ->
+  * multi-run selection -> full-table regeneration of the winners ->
+  * final CV-Lasso model.
+  *
+  * Scale shape: synthesis + selection run on the bounded subsample; the only
+  * full-table work is the winner-regeneration projection (one codegen'd
+  * select, shuffle-free) and one small Gram for the final model.
+  */
+final case class AutoFeatConfig(
+    categoricalCols: Seq[String] = Nil,
+    feategCols: Seq[String] = Nil, // empty -> all
+    feategSteps: Int = 2,
+    featselRuns: Int = 5,
+    transformations: Seq[String] = FeatEng.defaultTransformations,
+    maxGb: Option[Double] = None,
+    seed: Long = 0L
+)
+
+final case class LinearModel(cols: Seq[String], coef: Array[Double], intercept: Double, alpha: Double)
+
+final case class AutoFeatModel(
+    originalColumns: Seq[String],
+    categoricalCols: Seq[String],
+    feategCols: Seq[String],
+    symToCol: Map[String, String],
+    newFeatCols: Seq[String],
+    formulas: Map[String, FExpr],
+    goodCols: Seq[String],
+    model: LinearModel
+) {
+
+  /** Reference transform (autofeat.py:436-467): one-hot is REFIT on the new
+    * data (documented reference quirk), winners regenerated at float64 with
+    * NaN row-masking.
+    */
+  def transform(df: DataFrame): AutoFeatModel.Frame = {
+    val inCols = df.columns.toSeq.filter(originalColumns.contains)
+    require(inCols == originalColumns,
+      s"[AutoFeat] Not the same features as when calling fit: $inCols vs $originalColumns")
+    val (oneHot, _) = AutoFeat.transformCategoricalCols(df.select(originalColumns.map(AutoFeat.q): _*), categoricalCols)
+    AutoFeatModel.Frame(AutoFeat.generateFeatures(oneHot, newFeatCols, formulas, symToCol))
+  }
+
+  def predictCol: Column = {
+    val terms = goodCols.zip(model.coef).collect { case (c, b) if b != 0.0 => AutoFeat.q(c).cast("double") * lit(b) }
+    terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
+  }
+
+  def predict(df: DataFrame): DataFrame = transform(df).df.withColumn("prediction", predictCol)
+
+  /** R² on a frame that contains the target (two aggregates, one pass). */
+  def score(df: DataFrame, targetCol: String): Double = {
+    val full = AutoFeat.generateFeatures(
+      AutoFeat.transformCategoricalCols(df, categoricalCols)._1, newFeatCols, formulas, symToCol)
+    val y = AutoFeat.q(targetCol).cast("double")
+    val resid = y - predictCol
+    val r = full.agg(
+      sum(resid * resid).as("ssRes"),
+      sum(y).as("sy"), sum(y * y).as("syy"), count(lit(1)).as("n")
+    ).collect()(0)
+    val n = r.getLong(3).toDouble
+    val ssTot = r.getDouble(2) - r.getDouble(1) * r.getDouble(1) / n
+    1.0 - r.getDouble(0) / ssTot
+  }
+
+  def toJson: String = {
+    def arr(xs: Seq[String]) = xs.map(s => ExprJsonStr.q(s)).mkString("[", ",", "]")
+    val fj = formulas.map { case (k, v) => s"${ExprJsonStr.q(k)}:${ExprJson.toJson(v)}" }
+      .mkString("{", ",", "}")
+    val s2c = symToCol.map { case (k, v) => s"${ExprJsonStr.q(k)}:${ExprJsonStr.q(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"originalColumns":${arr(originalColumns)},"categoricalCols":${arr(categoricalCols)},
+       |"feategCols":${arr(feategCols)},"symToCol":$s2c,"newFeatCols":${arr(newFeatCols)},
+       |"formulas":$fj,"goodCols":${arr(goodCols)},
+       |"coef":[${model.coef.mkString(",")}],"intercept":${model.intercept},"alpha":${model.alpha}}""".stripMargin
+  }
+}
+
+private object ExprJsonStr {
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}
+
+object AutoFeatModel {
+  final case class Frame(df: DataFrame)
+}
+
+object AutoFeat {
+
+  private[model] def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
+
+  /** Upper bound of generated feature count (feateng.py:46-93). */
+  def nColsGenerated(nFeatures: Int, maxSteps: Int, nTransformations: Int = 7, nCombinations: Int = 4): Long = {
+    def ncr(n: Long, r0: Long): Long = {
+      val r = math.min(r0, n - r0)
+      if (r < 0) return 0
+      var numer = 1L; var denom = 1L
+      var i = 0L
+      while (i < r) { numer *= (n - i); denom *= (i + 1); i += 1 }
+      numer / denom
+    }
+    val nT = nTransformations - 1
+    var originalCols = nFeatures.toLong
+    var newCols = 0L
+    var newNewCols = 0L
+    var nAdd = 0L
+    var steps = 1
+    if (steps <= maxSteps) { originalCols += nFeatures.toLong * nT; steps += 1 }
+    if (steps <= maxSteps) {
+      newCols = nCombinations * ncr(originalCols, 2)
+      nAdd += 3 * newCols / 4
+      steps += 1
+    }
+    while (steps <= maxSteps) {
+      newCols += newCols * nT
+      steps += 1
+      if (steps <= maxSteps) {
+        newNewCols = nCombinations * (originalCols * newCols)
+        nAdd += 3 * newNewCols / 4
+        steps += 1
+      }
+      if (steps <= maxSteps) {
+        val n = nCombinations * ncr(newCols, 2)
+        newNewCols += n
+        nAdd += 3 * n / 4
+        steps += 1
+        originalCols += newCols
+        newCols = newNewCols
+        newNewCols = 0
+      }
+    }
+    if (steps <= maxSteps) newCols += newCols * nT
+    originalCols + newCols + newNewCols - nAdd
+  }
+
+  /** One-hot encode categorical columns (autofeat.py:130-151): sorted
+    * categories, columns `cat_{c}_{v}`, original column dropped.
+    * Returns (frame, map col -> new column names).
+    */
+  def transformCategoricalCols(df: DataFrame, cats: Seq[String]): (DataFrame, Map[String, Seq[String]]) = {
+    if (cats.isEmpty) return (df, Map.empty)
+    var out = df
+    val catMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    cats.foreach { c =>
+      require(df.columns.contains(c), s"[AutoFeat] categorical_col $c not in df.columns")
+      val isStr = df.schema(c).dataType == StringType
+      val values = df.select(q(c)).distinct().collect().map(_.get(0)).toSeq
+      val sorted =
+        if (isStr) values.map(_.toString).sorted
+        else values.map(_.toString).sortBy(BigDecimal(_))
+      val newCols = sorted.map(v => s"cat_${c}_$v")
+      catMap(c) = newCols
+      sorted.zip(newCols).foreach { case (v, nc) =>
+        out = out.withColumn(nc, when(q(c).cast("string") === lit(v), 1.0).otherwise(0.0))
+      }
+      out = out.drop(c)
+    }
+    (out, catMap.toMap)
+  }
+
+  /** Regenerate winner features on a full frame: float64, NaN on any row
+    * where a source column is null/NaN (autofeat.py:176-242).
+    */
+  def generateFeatures(df: DataFrame, newFeatCols: Seq[String],
+                       formulas: Map[String, FExpr], symToCol: Map[String, String]): DataFrame = {
+    if (newFeatCols.isEmpty) return df
+    val cols = newFeatCols.map { n =>
+      val e = formulas(n)
+      Compile.toColumnNanMasked(e, s => q(symToCol(s)).cast("double")).as(n)
+    }
+    df.select(df.columns.map(c => q(c)).toSeq ++ cols: _*)
+  }
+
+  /** Flagship fit_transform. `df` must contain `targetCol` plus the feature
+    * columns; rows must be finite in the used columns (fit rejects NaN).
+    */
+  def fitTransform(dfIn: DataFrame, targetCol: String,
+                   cfg: AutoFeatConfig = AutoFeatConfig()): (DataFrame, AutoFeatModel) = {
+    val originalColumns = dfIn.columns.toSeq.filter(_ != targetCol)
+    val df0 = dfIn.select((originalColumns :+ targetCol).map(q): _*)
+    // NaN rejection on used columns (check_X_y)
+    val numCols = originalColumns.filter(c => df0.schema(c).dataType.isInstanceOf[NumericType]) :+ targetCol
+    val badExpr = numCols.map(c => sum(when(q(c).isNull || isnan(q(c).cast("double")), 1L).otherwise(0L)))
+      .reduce(_ + _)
+    require(df0.agg(badExpr.as("bad")).collect()(0).getLong(0) == 0L,
+      "[AutoFeat] fit data contains NaN/null values")
+
+    val (oneHot, catMap) = transformCategoricalCols(df0, cfg.categoricalCols)
+    val feategCols: Seq[String] =
+      if (cfg.feategCols.nonEmpty)
+        cfg.feategCols.flatMap(c => catMap.getOrElse(c, Seq(c)))
+      else oneHot.columns.toSeq.filter(_ != targetCol)
+
+    // admission control (autofeat.py:321-344): bytes ~ rows*cols*4
+    val nRows = oneHot.count()
+    val nCols = nColsGenerated(feategCols.size, cfg.feategSteps, cfg.transformations.size)
+    val nGb = nRows.toDouble * nCols / 250000000.0
+    val dfSubs = cfg.maxGb match {
+      case Some(gb) if nGb > gb =>
+        val keepRows = (gb * 250000000.0 / nCols).toLong
+        oneHot.orderBy(rand(cfg.seed)).limit(keepRows.toInt)
+      case _ => oneHot
+    }
+
+    // synthesis on the (sub)sampled frame (target passed through untouched)
+    val eng = new FeatEng(FeatEngConfig(maxSteps = cfg.feategSteps, transformations = cfg.transformations))
+      .engineerFeatures(dfSubs, feategCols, passThrough = Seq(targetCol))
+    val symToCol = feategCols.zipWithIndex.map { case (c, i) => F.colToSymbol(c, i) -> c }.toMap
+
+    val goodCols: Seq[String] =
+      if (cfg.featselRuns <= 0) eng.columns
+      else {
+        val picked = FeatSel.selectFeatures(eng.df, eng.columns, targetCol,
+          FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed))
+        if (picked.isEmpty) oneHot.columns.toSeq.filter(_ != targetCol) else picked
+      }
+    val baseCols = oneHot.columns.toSeq.filter(_ != targetCol)
+    val newFeatCols = goodCols.filterNot(baseCols.contains)
+    val formulas = (newFeatCols.map(n => n -> eng.pool(n)) ++
+      feategCols.map(c => c -> eng.pool(c))).toMap
+
+    // full regeneration at float64 over ALL rows
+    val fullDf = generateFeatures(oneHot, newFeatCols, formulas, symToCol)
+
+    // final model: CV lasso on unscaled goodCols vs raw target
+    val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
+    val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)
+    val fit = new graft.select.GramLasso(grams).cvFit(goodCols.indices.toArray)
+    val model = AutoFeatModel(
+      originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
+      formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha))
+    (fullDf, model)
+  }
+
+}

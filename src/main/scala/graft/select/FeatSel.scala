@@ -147,9 +147,9 @@ object FeatSel {
       val frame0 = if (useShuffled) withShuffledCopy(sub, featureCols, cfg.seed * 31 + run) else sub
       val nGaussMax = math.max(3, d / 2)
       val gaussCols = (0 until nGaussMax).map(i => s"__gauss_$i")
-      val frame = gaussCols.zipWithIndex.foldLeft(frame0) { case (f, (c, i)) =>
-        f.withColumn(c, randn(cfg.seed * 131 + run * 17 + i))
-      }
+      // single select: chained withColumn is quadratic in the analyzer
+      val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
+        gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 131 + run * 17 + i).as(c) }: _*)
       val shufCols = if (useShuffled) featureCols.indices.map(i => s"__shuf_$i") else Nil
       val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds)
       val picked = selectRun(rg, nRows, new scala.util.Random(cfg.seed + 7919 * (run + 1)))
@@ -185,9 +185,8 @@ object FeatSel {
       val frame0 = if (useShuffled) withShuffledCopy(base, goodCols, cfg.seed * 977 + 5) else base
       val nGauss = math.max(3, goodCols.size / 2)
       val gaussCols = (0 until nGauss).map(i => s"__gauss_$i")
-      val frame = gaussCols.zipWithIndex.foldLeft(frame0) { case (f, (c, i)) =>
-        f.withColumn(c, randn(cfg.seed * 677 + i))
-      }
+      val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
+        gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 677 + i).as(c) }: _*)
       val shufCols = if (useShuffled) goodCols.indices.map(i => s"__shuf_$i") else Nil
       val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds)
       val kept = noiseFilter(rg, goodCols.indices)

@@ -130,11 +130,13 @@ object Gram {
     val nFolds = if (hasFold) k else 1
     val yOff = if (hasFold) 1 else 0
     val xOff = yOff + (if (hasY) 1 else 0)
-    val zero = Array.fill(nFolds)(new Gram(d))
-    df.select(cols: _*).rdd.treeAggregate(zero)(
-      seqOp = (acc, row: Row) => {
+    // buffers are created per partition (a closure-captured zero of size
+    // O(folds·d²) would be broadcast with every stage)
+    df.select(cols: _*).rdd.mapPartitions { rows =>
+      val acc = Array.fill(nFolds)(new Gram(d))
+      val x = new Array[Double](d)
+      rows.foreach { row =>
         var bad = false
-        val x = new Array[Double](d)
         var i = 0
         while (i < d && !bad) {
           if (row.isNullAt(xOff + i)) bad = true
@@ -150,9 +152,10 @@ object Gram {
           val f = if (hasFold) row.getInt(0) % nFolds else 0
           acc(f).add(x, y)
         }
-        acc
-      },
-      combOp = (a, b) => { var i = 0; while (i < nFolds) { a(i).merge(b(i)); i += 1 }; a },
+      }
+      Iterator.single(acc)
+    }.treeReduce(
+      (a, b) => { var i = 0; while (i < nFolds) { a(i).merge(b(i)); i += 1 }; a },
       depth = 2
     )
   }
@@ -168,21 +171,23 @@ object Scaling {
   final case class Stats(mean: Array[Double], stdPop: Array[Double], stdSamp: Array[Double], count: Array[Long])
 
   def stats(df: DataFrame, cols: Seq[String]): Stats = {
-    val exprs = cols.flatMap { c =>
-      val v = when(col(c).isNull || isnan(col(c).cast("double")), lit(null)).otherwise(col(c).cast("double"))
-      Seq(avg(v).as(s"m_$c"), stddev_pop(v).as(s"sp_$c"), stddev_samp(v).as(s"ss_$c"), count(v).as(s"n_$c"))
-    }
-    val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     val k = cols.size
     val m = new Array[Double](k); val sp = new Array[Double](k)
     val ss = new Array[Double](k); val n = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      m(i) = Option(r.get(4 * i)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-      sp(i) = Option(r.get(4 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-      ss(i) = Option(r.get(4 * i + 2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-      n(i) = r.getLong(4 * i + 3)
-      i += 1
+    // chunked: thousands of agg expressions in one job choke codegen
+    cols.zipWithIndex.grouped(128).foreach { group =>
+      val exprs = group.flatMap { case (c, _) =>
+        val cc = col(s"`${c.replace("`", "``")}`")
+        val v = when(cc.isNull || isnan(cc.cast("double")), lit(null)).otherwise(cc.cast("double"))
+        Seq(avg(v), stddev_pop(v), stddev_samp(v), count(v))
+      }
+      val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+      group.zipWithIndex.foreach { case ((_, i), gi) =>
+        m(i) = Option(r.get(4 * gi)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+        sp(i) = Option(r.get(4 * gi + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+        ss(i) = Option(r.get(4 * gi + 2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+        n(i) = r.getLong(4 * gi + 3)
+      }
     }
     Stats(m, sp, ss, n)
   }
@@ -190,7 +195,7 @@ object Scaling {
   /** Project columns to nan-aware standard scores: (x - nanmean) / nanstd. */
   def scaled(df: DataFrame, cols: Seq[String], st: Stats): DataFrame = {
     val proj = cols.zipWithIndex.map { case (c, i) =>
-      ((col(c).cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(c)
+      ((col(s"`${c.replace("`", "``")}`").cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(c)
     }
     df.select(proj: _*)
   }

@@ -65,6 +65,17 @@ object Drive {
       val picked = FeatSel.selectFeatures(withY, res.columns, "y")
       println("SELECTED=" + picked.mkString(" | "))
     }
+    // M7: as-of join — for each turn, the last completed-session summary
+    {
+      import graft.time.AsOfJoin
+      val sessions = f.groupBy(col("conv_id"), col("session_id"))
+        .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"))
+      val joined = AsOfJoin.asof(
+        f.select("conv_id", "turn_idx", "ts"), sessions, "conv_id", "ts", Seq("session_len"))
+      println("ASOF_ROWS=" + joined.count() + " MATCHED=" +
+        joined.filter(col("asof_session_len").isNotNull).count())
+      joined.orderBy("conv_id", "turn_idx").show(5)
+    }
     spark.stop()
   }
 }

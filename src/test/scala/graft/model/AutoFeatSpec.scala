@@ -1,0 +1,51 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ports the reference end-to-end gates (tests/test_autofeat.py). */
+class AutoFeatSpec extends SparkSpec {
+
+  private def fixture = getClass.getResource("/fixtures/f2_input.parquet").getPath
+  lazy val df = spark.read.parquet(fixture).drop("row_id").cache()
+
+  test("no-op config returns original columns (test_autofeat.py:19-25)") {
+    val (out, model) = AutoFeat.fitTransform(df, "target",
+      AutoFeatConfig(feategSteps = 0, featselRuns = 0))
+    assert(out.columns.toSet == Set("x1", "x2", "x3", "target"))
+    assert(model.newFeatCols.isEmpty)
+  }
+
+  test("R² >= 0.999 at feateng_steps=3 (test_autofeat.py:28-34)") {
+    val (_, model) = AutoFeat.fitTransform(df, "target", AutoFeatConfig(feategSteps = 3))
+    val r2 = model.score(df, "target")
+    info(s"selected=${model.goodCols.mkString(", ")}")
+    info(s"r2=$r2")
+    assert(r2 >= 0.999, s"R² = $r2")
+  }
+
+  test("NaN policy: fit rejects; transform propagates per-row (test_autofeat.py:65-87)") {
+    val withNan = df.withColumn("x1",
+      when(monotonically_increasing_id() === 0, lit(Double.NaN)).otherwise(col("x1")))
+    intercept[IllegalArgumentException] {
+      AutoFeat.fitTransform(withNan, "target", AutoFeatConfig(feategSteps = 1, featselRuns = 1))
+    }
+    val (_, model) = AutoFeat.fitTransform(df, "target", AutoFeatConfig(feategSteps = 2, featselRuns = 2))
+    if (model.newFeatCols.nonEmpty) {
+      val out = model.transform(withNan.drop("target")).df
+      val usesX1 = model.newFeatCols.filter(n => model.formulas(n).vars.contains("x1"))
+      if (usesX1.nonEmpty) {
+        val q = usesX1.map(n => sum(when(isnan(col(s"`$n`")), 1L).otherwise(0L)).as(n))
+        val r = out.agg(q.head, q.tail: _*).collect()(0)
+        usesX1.indices.foreach(i => assert(r.getLong(i) == 1L, s"${usesX1(i)} should have exactly 1 NaN"))
+      }
+    }
+  }
+
+  test("model JSON roundtrips formulas") {
+    import graft.expr.{ExprJson, F, Var}
+    val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))
+    val back = ExprJson.fromJson(ExprJson.toJson(e))
+    assert(back == e && back.name == e.name)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.time
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  /** Window-based oracle: join all r.ts <= l.ts, keep rank-1 by r.ts desc. */
+  private def oracle(left: DataFrame, right: DataFrame, pay: String): DataFrame = {
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+    val j = l.join(right.withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk"),
+      col("k") === col("rk") && col("rts") <= col("ts"), "left")
+    val w = Window.partitionBy("__lid").orderBy(desc("rts"))
+    j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("k"), col("ts"), col(pay).as(s"asof_$pay"))
+  }
+
+  private def randomCase(seed: Int, nKeys: Int, nLeft: Int, nRight: Int,
+                         skewThreshold: Long = 2000000L): Unit = {
+    val rng = new scala.util.Random(seed)
+    val left = (0 until nLeft).map { _ =>
+      (s"k${rng.nextInt(nKeys)}", ts(rng.nextInt(100000).toLong))
+    }.toDF("k", "ts")
+    val right = (0 until nRight).map { i =>
+      (s"k${rng.nextInt(nKeys)}", ts(rng.nextInt(100000).toLong), i.toDouble)
+    }.toDF("k", "ts", "v")
+    val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+      skewThreshold = skewThreshold, salts = 4)
+      .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    val exp = oracle(left, right, "v")
+      .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+
+  test("matches window oracle on random tables") {
+    randomCase(1, nKeys = 7, nLeft = 500, nRight = 200)
+    randomCase(2, nKeys = 1, nLeft = 300, nRight = 300)
+    randomCase(3, nKeys = 50, nLeft = 400, nRight = 50)
+  }
+
+  test("salted path (forced) matches oracle, including the mega key") {
+    randomCase(4, nKeys = 3, nLeft = 2000, nRight = 100, skewThreshold = 10L)
+  }
+
+  test("tie semantics: right row at exactly l.ts is taken") {
+    val left = Seq(("a", ts(100)), ("a", ts(99))).toDF("k", "ts")
+    val right = Seq(("a", ts(100), 1.0), ("a", ts(50), 2.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+      .orderBy("ts").select("asof_v").as[Double].collect()
+    assert(got.toSeq == Seq(2.0, 1.0))
+  }
+
+  test("left rows before any right row get null payload") {
+    val left = Seq(("a", ts(10)), ("a", ts(60))).toDF("k", "ts")
+    val right = Seq(("a", ts(50), 7.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+      .orderBy("ts").select("asof_v").collect()
+    assert(got(0).isNullAt(0) && got(1).getDouble(0) == 7.0)
+  }
+}
