@@ -82,6 +82,77 @@ object SparkEntry {
         round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
         round(lit(1.0) / col("l_extendedprice"), 9).as("recip_p"),
         (col("l_quantity") * col("l_quantity")).as("sq_q"))
+    }),
+
+    // ---- as-of join (§2.10): last purchase value at-or-before each event
+    // (right side pre-aggregated to unique (user, ts) so tie order can't
+    // differ between engines)
+    "q_asof" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.time.AsOfJoin.asof(
+        e.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "ts", Seq("value"), prefix = "last_purchase_")
+        .select(col("event_id"), col("user_id"),
+          col("last_purchase_value"))
+    }),
+
+    // ---- one-hot encoding (§2.2)
+    "q_onehot" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val (oneHot, _) = graft.model.AutoFeat.transformCategoricalCols(
+        o.select("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"))
+      oneHot
+    }),
+
+    // ---- text analysis: token counts, quality, language-ID, fingerprint
+    "q_text_stats" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(
+        col("doc_id"),
+        graft.pipeline.TextOps.tokenCount(col("text")).cast("long").as("token_count"),
+        graft.pipeline.TextOps.charCount(col("text")).as("char_count"),
+        round(graft.pipeline.TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(graft.pipeline.TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("quality"),
+        graft.pipeline.TextOps.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---- exact dedup by normalized-text fingerprint (hash-groupBy)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.exact(d, "doc_id", "text")
+    }),
+
+    // ---- minhash signatures over word 3-grams (md5-derived hashes)
+    "q_minhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        posexplode(graft.pipeline.Dedup.minhashSignature(col("text"), numHashes = 8))
+          .as(Seq("hash_idx", "min_hash")))
+        .select(col("doc_id"), col("hash_idx").cast("long").as("hash_idx"), col("min_hash"))
+    }),
+
+    // ---- simhash (32-bit) per document
+    "q_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), graft.pipeline.Dedup.simhash(col("text")).as("simhash"))
+    }),
+
+    // ---- brute-force cosine top-5 for the first 5 vectors
+    "q_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scored = graft.pipeline.Similarity.bruteForceKnn(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 1000000)
+        .withColumn("rcos", round(col("cosine"), 5))
+      // re-rank on the ROUNDED cosine so ulp-level engine differences can't
+      // flip neighbor order between Spark and the oracle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("rcos"), asc("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("neighbor_id"), col("rcos"))
     })
   )
 
@@ -125,6 +196,88 @@ object SparkEntry {
         |  ROUND(SQRT(l_quantity), 6) AS sqrt_q,
         |  ROUND(1.0 / l_extendedprice, 9) AS recip_p,
         |  l_quantity * l_quantity AS sq_q
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_asof" ->
+      """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e LEFT JOIN
+        |  (SELECT user_id, ts, MAX(value) AS value FROM events
+        |   WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1""".stripMargin,
+
+    "q_onehot" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderstatus = 'F' AS DOUBLE) AS "cat_o_orderstatus_F",
+        |  CAST(o_orderstatus = 'O' AS DOUBLE) AS "cat_o_orderstatus_O",
+        |  CAST(o_orderstatus = 'P' AS DOUBLE) AS "cat_o_orderstatus_P"
+        |FROM orders""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+        |        GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 6) AS mean_word_len,
+        |  ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 1.0 /
+        |        GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 6) AS stopword_ratio,
+        |  ROUND(
+        |    LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
+        |    * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
+        |    * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
+        |    * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
+        |             OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
+        |    * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
+        |          GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
+        |  , 6) AS quality,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents),
+        |g AS (SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count FROM f GROUP BY 1)
+        |SELECT f.doc_id, f.fingerprint, f.doc_id = g.canonical_id AS is_canonical,
+        |  CAST(g.dup_count AS BIGINT) AS dup_count
+        |FROM f JOIN g USING (fingerprint)""".stripMargin,
+
+    "q_minhash" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
+        |  FROM documents)
+        |SELECT doc_id, CAST(r.i AS BIGINT) AS hash_idx,
+        |  list_aggregate(list_transform(g, s ->
+        |    CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), '|', s)), 1, 15)) AS BIGINT)), 'min') AS min_hash
+        |FROM grams, range(8) r(i)""".stripMargin,
+
+    "q_simhash" ->
+      """WITH h AS (SELECT doc_id, list_transform(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_aggregate(list_transform(range(32), b ->
+        |  CASE WHEN 2 * len(list_filter(th, x -> (x >> CAST(b AS INT)) & 1 = 1)) - len(th) > 0
+        |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash
+        |FROM h""".stripMargin,
+
+    "q_knn" ->
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT query_id, rk, neighbor_id, rcos FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(q.v, e.v) /
+        |      GREATEST(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 1e-12), 5) AS rcos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      ROUND(list_dot_product(q.v, e.v) /
+        |        GREATEST(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 1e-12), 5) DESC,
+        |      e.vec_id) AS BIGINT) AS rk
+        |  FROM (SELECT * FROM ed WHERE vec_id < 5) q, ed e
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rk <= 5""".stripMargin
   )
 }

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search. Baseline: brute-force cosine top-k with the
+  * query side broadcast (one scan of the corpus per batch of queries).
+  * Scale path: IVF — driver-side k-means on a bounded sample, broadcast
+  * centroids, cluster-pruned search probing `nProbe` nearest centroids
+  * (scan cost drops to ~nProbe/nCentroids of the corpus per query batch).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+
+  /** Brute-force top-k cosine neighbors for the query rows (queries are
+    * expected to be a small broadcastable set).
+    * Output: (query_id, neighbor_id, cosine, rank). Ties break by id.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Driver-side k-means (Lloyd, fixed iterations, deterministic seeding by
+    * the first distinct sample points) over a bounded sample.
+    */
+  private def l2norm(v: Array[Double]): Array[Double] = {
+    val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+    v.map(_ / n)
+  }
+
+  /** Spherical k-means (cosine geometry: vectors and centroids live on the
+    * unit sphere, matching the cosine ranking of the search phase).
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nCentroids: Int,
+                     sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).orderBy(rand(seed)).limit(sampleSize)
+      .collect().map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(sample.length >= nCentroids, "sample smaller than centroid count")
+    var cents = sample.distinct.take(nCentroids).map(_.clone)
+    val dim = cents(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else l2norm(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    cents
+  }
+
+  private def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cc = cents(c)
+      while (i < v.length) { val t = cc(i) - v(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cluster assignment column from broadcast centroids (pure expressions:
+    * argmin over per-centroid squared distances).
+    */
+  def clusterCol(vec: Column, cents: Array[Array[Double]]): Column = {
+    // spherical assignment: maximize dot(v, c) over unit centroids
+    // (equivalent to cosine since ||v|| is constant per row)
+    val sims = array(cents.map { c =>
+      val carr = array(c.map(lit): _*)
+      aggregate(zip_with(vec, carr, (x, ctr) => x.cast("double") * ctr),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF search: probe the `nProbe` centroids nearest to each query and do
+    * exact cosine only inside those clusters.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      clusterCol(col(vecCol), cents).as("__cluster"))
+    // query -> probed clusters (driver-evaluable per row via expressions is
+    // awkward; broadcast queries and explode their probe list)
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().flatMap { r =>
+      val v = l2norm(r.getSeq[Float](1).map(_.toDouble).toArray)
+      val order = cents.indices.sortBy { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += cents(c)(i) * v(i); i += 1 }
+        -s
+      }
+      order.take(nProbe).map(c => org.apache.spark.sql.Row(r.get(0), r.getSeq[Float](1), c))
+    }
+    val spark = corpus.sparkSession
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      queries.schema(idCol).copy(name = "query_id"),
+      queries.schema(vecCol).copy(name = "__qv"),
+      org.apache.spark.sql.types.StructField("__cluster", org.apache.spark.sql.types.IntegerType)))
+    val qDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows.toSeq), qSchema))
+    val scored = assigned.join(qDf, Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "THE  quick brown    fox jumps over the lazy dog"), // normalized dup
+    (3L, "the quick brown fox jumps over the sleepy dog"),   // near dup
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "spark engines and parquet files about completely different content")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps smallest id") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).sortBy(_._1)
+    assert(d(0) == ((0L, true, 3L)))  // 0,1,2 share a fingerprint
+    assert(d(1) == ((1L, false, 3L)))
+    assert(d(2) == ((2L, false, 3L)))
+    assert(d(3)._2 && d(4)._2 && d(5)._2)
+  }
+
+  test("minhash LSH pairs catch near-duplicates, jaccard is sane") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 16, bands = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)))
+    assert(got.contains((0L, 3L)) || got.contains((1L, 3L)) || got.contains((2L, 3L)))
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    j.get((0L, 3L)).foreach(v => assert(v > 0.3 && v < 1.0))
+  }
+
+  test("simhash: identical 0 distance, near small, different large") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0, 1) == 0)
+    assert(ham(0, 3) < ham(0, 4))
+    assert(sh(4) == sh(5)) // simhash is order-insensitive over tokens
+  }
+
+  test("text stats behave") {
+    val r = docs.select(
+      TextOps.tokenCount(col("text")).as("tc"),
+      TextOps.stopwordRatio(col("text")).as("sr"),
+      TextOps.langIdHeuristic(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q")
+    ).collect()
+    assert(r(0).getInt(0) == 9)
+    assert(r(0).getDouble(1) > 0.2)
+    assert(r(0).getString(2) == "en")
+    assert(r(0).getDouble(3) > 0 && r(0).getDouble(3) <= 1.0)
+  }
+
+  lazy val embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("brute-force knn matches a driver-side computation") {
+    val all = embeddings.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceKnn(embeddings, queries, "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.max(math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    for (q <- 0L to 2L) {
+      val qv = all.find(_._1 == q).get._2
+      val expTop = all.filter(_._1 != q).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotTop = (1 to 5).map(r => got((q, r)))
+      assert(gotTop == expTop.toSeq, s"query $q: $gotTop vs ${expTop.toSeq}")
+    }
+  }
+
+  test("ivf knn has high recall vs brute force on clustered data") {
+    // the driver-provided embeddings are isotropic random (no cluster
+    // structure -> IVF recall is capped by scanned fraction there); build
+    // clustered vectors to validate the operator itself
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val data = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(4).cache()
+    val cents = Similarity.trainCentroids(df, "embedding", nCentroids = 8, sampleSize = 400)
+    val queries = df.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceKnn(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(df, queries, "vec_id", "embedding", 10, cents, nProbe = 2)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"ivf recall=$recall")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}
