@@ -1,24 +1,113 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{Compile, F, Var}
+import graft.time.{AsOfJoin, PointInTime, TranscriptGen}
+
+/** Driver benchmark: prints ONE JSON line with the headline metric
+  * (feature-vector rows/sec over the transcript pipeline — BASELINE.json's
+  * unit) plus per-query seconds for every SparkEntry query at the given
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
 object Bench {
+
+  /** The flagship full-scale path: point-in-time base features →
+    * session-summary as-of join → engineered feature-vector projection
+    * (a representative winner set compiled from the symbolic registry).
+    * Returns the output row count (forces full evaluation via an aggregate
+    * over every feature column — nothing is pruned away).
+    */
+  def transcriptPipeline(spark: SparkSession, turns: DataFrame): (Long, Int) = {
+    // base features: ONE window pass, persisted so the session-summary
+    // branch and the as-of left side don't recompute it (at cluster scale
+    // this is the stage-boundary checkpoint)
+    val base = PointInTime.baseFeatures(turns)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessions = base.groupBy(col("conv_id"), col("session_id"))
+      .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"),
+        count(lit(1)).as("session_turns"))
+    val joined = AsOfJoin.asof(base, sessions, "conv_id", "ts",
+      Seq("session_len", "session_turns"))
+    // representative winner formulas over the numeric base features
+    // (the regeneration projection IS the full-scale 10^12-row workload)
+    val v = (n: String) => Var(n)
+    val baseWinners = Seq(
+      F.log(v("text_len")), F.sqrt(v("cum_text_len")), F.recip(v("turns_so_far")),
+      F.sq(v("secs_since_prev")), F.mul(v("text_len"), v("turns_so_far")),
+      F.mul(F.log(v("cum_text_len")), F.recip(v("turns_so_far"))),
+      F.sub(v("cum_len_user"), v("cum_len_assistant")),
+      F.sqrt(F.add(v("cum_tool_calls"), F.num(1))),
+      F.mul(v("secs_in_session"), F.recip(F.add(v("turns_in_session"), F.num(1)))),
+      F.log(F.add(v("session_id"), F.num(1))),
+      F.mul(v("cum_len_tool"), F.recip(F.add(v("cum_text_len"), F.num(1)))),
+      F.sq(F.log(v("text_len")))
+    )
+    val winners = baseWinners ++ baseWinners.combinations(2).take(28).map {
+      case Seq(a, b) => F.mul(a, b)
+    }
+    val featCols = winners.map(e =>
+      Compile.toColumn(e, s => col(s).cast("double")).as(e.name))
+    val out = joined.select(
+      Seq(col("conv_id"), col("turn_idx"), col("ts"),
+        col("asof_session_len").cast("double").as("asof_session_len")) ++ featCols: _*)
+    // force every column: sum of all numeric features + count
+    val sums = out.columns.drop(3).map(c => sum(col(s"`$c`").cast("double")))
+    val r = out.agg(count(lit(1)).as("n"), sums: _*).collect()(0)
+    base.unpersist()
+    (r.getLong(0), out.columns.length)
+  }
+
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Deterministic benchmark transcript table, written once per scale. */
+  def benchTranscripts(spark: SparkSession, sfDir: String, convsOverride: Long = 0L): DataFrame = {
+    val nConvs =
+      if (convsOverride > 0) convsOverride
+      else sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse(
+        if (sfDir.contains("0.1")) 50000L else if (sfDir.contains("0.01")) 5000L else 500L)
+    val path = s"/tmp/graft_bench_transcripts_$nConvs"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      TranscriptGen.generate(spark, nConvs, meanTurns = 20, seed = 42)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // flagship transcript pipeline: warm once (parquet page cache, codegen),
+    // then measure
+    val turns = benchTranscripts(spark, sfDir)
+    transcriptPipeline(spark, turns) // warm-up
+    val ((nRows, nCols), pipeSec) = timed(transcriptPipeline(spark, turns))
+    val turnsPerSec = nRows / pipeSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipeSec
+    println(
+      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

