@@ -19,6 +19,7 @@ import graft.stats.Gram
   * select, shuffle-free) and one small Gram for the final model.
   */
 final case class AutoFeatConfig(
+    problemType: String = "regression", // or "classification"
     categoricalCols: Seq[String] = Nil,
     feategCols: Seq[String] = Nil, // empty -> all
     feategSteps: Int = 2,
@@ -38,7 +39,8 @@ final case class AutoFeatModel(
     newFeatCols: Seq[String],
     formulas: Map[String, FExpr],
     goodCols: Seq[String],
-    model: LinearModel
+    model: LinearModel,
+    classifier: Option[graft.select.Logistic.Model] = None
 ) {
 
   /** Reference transform (autofeat.py:436-467): one-hot is REFIT on the new
@@ -53,26 +55,38 @@ final case class AutoFeatModel(
     AutoFeatModel.Frame(AutoFeat.generateFeatures(oneHot, newFeatCols, formulas, symToCol))
   }
 
-  def predictCol: Column = {
-    val terms = goodCols.zip(model.coef).collect { case (c, b) if b != 0.0 => AutoFeat.q(c).cast("double") * lit(b) }
-    terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
+  def predictCol: Column = classifier match {
+    case Some(lm) => lm.predictCol.cast("double").as("prediction")
+    case None =>
+      val terms = goodCols.zip(model.coef).collect { case (c, b) if b != 0.0 => AutoFeat.q(c).cast("double") * lit(b) }
+      terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
   }
 
   def predict(df: DataFrame): DataFrame = transform(df).df.withColumn("prediction", predictCol)
 
-  /** R² on a frame that contains the target (two aggregates, one pass). */
+  def predictProba(df: DataFrame): DataFrame = {
+    val lm = classifier.getOrElse(throw new IllegalStateException("not a classifier"))
+    transform(df).df.withColumn("probability", lm.probCol)
+  }
+
+  /** R² (regression) or accuracy (classification) on a frame with the target. */
   def score(df: DataFrame, targetCol: String): Double = {
     val full = AutoFeat.generateFeatures(
       AutoFeat.transformCategoricalCols(df, categoricalCols)._1, newFeatCols, formulas, symToCol)
     val y = AutoFeat.q(targetCol).cast("double")
-    val resid = y - predictCol
-    val r = full.agg(
-      sum(resid * resid).as("ssRes"),
-      sum(y).as("sy"), sum(y * y).as("syy"), count(lit(1)).as("n")
-    ).collect()(0)
-    val n = r.getLong(3).toDouble
-    val ssTot = r.getDouble(2) - r.getDouble(1) * r.getDouble(1) / n
-    1.0 - r.getDouble(0) / ssTot
+    classifier match {
+      case Some(_) =>
+        full.agg(avg((predictCol === y).cast("double"))).collect()(0).getDouble(0)
+      case None =>
+        val resid = y - predictCol
+        val r = full.agg(
+          sum(resid * resid).as("ssRes"),
+          sum(y).as("sy"), sum(y * y).as("syy"), count(lit(1)).as("n")
+        ).collect()(0)
+        val n = r.getLong(3).toDouble
+        val ssTot = r.getDouble(2) - r.getDouble(1) * r.getDouble(1) / n
+        1.0 - r.getDouble(0) / ssTot
+    }
   }
 
   def toJson: String = {
@@ -222,6 +236,11 @@ object AutoFeat {
       .engineerFeatures(dfSubs, feategCols, passThrough = Seq(targetCol))
     val symToCol = feategCols.zipWithIndex.map { case (c, i) => F.colToSymbol(c, i) -> c }.toMap
 
+    // selection: the reference uses L1 logistic CV for classification
+    // (featsel.py:68); we run the regression Lasso path on the 0/1 target
+    // as the selection surrogate (documented deviation — the final model
+    // below is a true balanced logistic) since Gram sufficient statistics
+    // cannot drive logistic CD
     val goodCols: Seq[String] =
       if (cfg.featselRuns <= 0) eng.columns
       else {
@@ -237,13 +256,21 @@ object AutoFeat {
     // full regeneration at float64 over ALL rows
     val fullDf = generateFeatures(oneHot, newFeatCols, formulas, symToCol)
 
-    // final model: CV lasso on unscaled goodCols vs raw target
-    val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
-    val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)
-    val fit = new graft.select.GramLasso(grams).cvFit(goodCols.indices.toArray)
-    val model = AutoFeatModel(
-      originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
-      formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha))
+    // final model on the full frame: CV lasso (regression) or distributed
+    // Newton-IRLS logistic with balanced class weights (classification)
+    val model = if (cfg.problemType == "classification") {
+      val lm = graft.select.Logistic.fit(fullDf, goodCols, targetCol)
+      AutoFeatModel(
+        originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
+        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm))
+    } else {
+      val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
+      val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)
+      val fit = new graft.select.GramLasso(grams).cvFit(goodCols.indices.toArray)
+      AutoFeatModel(
+        originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
+        formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha))
+    }
     (fullDf, model)
   }
 

@@ -42,6 +42,32 @@ class AutoFeatSpec extends SparkSpec {
     }
   }
 
+  test("classifier accuracy >= 0.95 (test_autofeat.py:152-160)") {
+    val stats = df.agg(avg("target")).collect()(0).getDouble(0)
+    val binDf = df.withColumn("label", (col("target") > stats).cast("int")).drop("target")
+    val (_, model) = AutoFeat.fitTransform(binDf, "label",
+      AutoFeatConfig(problemType = "classification", feategSteps = 3))
+    val acc = model.score(binDf, "label")
+    info(s"accuracy=$acc selected=${model.goodCols.mkString(", ")}")
+    assert(acc >= 0.95, s"accuracy $acc")
+    // predict_proba is a valid probability
+    val p = model.predictProba(binDf.drop("label")).agg(min("probability"), max("probability")).collect()(0)
+    assert(p.getDouble(0) >= 0.0 && p.getDouble(1) <= 1.0)
+  }
+
+  test("categorical one-hot expansion (test_autofeat.py:105-136)") {
+    val withCat = df.withColumn("x4",
+      when(monotonically_increasing_id() % 5 < 1, lit("hello"))
+        .when(monotonically_increasing_id() % 5 < 3, lit("2")).otherwise(lit("4")))
+    val (out, model) = AutoFeat.fitTransform(withCat, "target",
+      AutoFeatConfig(categoricalCols = Seq("x4"), feategSteps = 0, featselRuns = 0))
+    assert(!out.columns.contains("x4"))
+    assert(Seq("cat_x4_2", "cat_x4_4", "cat_x4_hello").forall(out.columns.contains))
+    val s = out.agg(sum(col("cat_x4_2") + col("cat_x4_4") + col("cat_x4_hello"))).collect()(0).getDouble(0)
+    assert(s == out.count().toDouble) // exactly one hot per row
+    assert(model.originalColumns.contains("x4"))
+  }
+
   test("model JSON roundtrips formulas") {
     import graft.expr.{ExprJson, F, Var}
     val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))
