@@ -140,6 +140,66 @@ object SparkEntry {
       d.select(col("doc_id"), graft.pipeline.Dedup.simhash(col("text")).as("simhash"))
     }),
 
+    // ---- forward-fill / lead / lag (§2.10) through the PointInTime API
+    "q_ffill" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("conv_id"), col("event_id").as("turn_idx"),
+          col("ts"), col("event_type"), col("value"))
+      val purchaseValue = when(col("event_type") === "purchase", col("value"))
+      e.select(
+        col("conv_id").as("user_id"), col("turn_idx").as("event_id"),
+        PointInTime.ffill(purchaseValue).as("last_purchase_value"),
+        PointInTime.leadIn(col("value"), 1).as("next_value"),
+        PointInTime.lagIn(col("value"), 2).as("prev2_value"))
+    }),
+
+    // ---- gap sessionization + per-session aggregates (§2.10)
+    "q_session_agg" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("conv_id"), col("event_id").as("turn_idx"),
+          col("ts"), col("value"))
+      e.select(col("conv_id"), col("turn_idx"), col("value"),
+          PointInTime.sessionId(col("ts"), 3600L).as("session_id"),
+          unix_timestamp(col("ts")).as("ts_secs"))
+        .groupBy(col("conv_id").as("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"),
+          min(col("ts_secs")).as("start_secs"), max(col("ts_secs")).as("end_secs"))
+    }),
+
+    // ---- n-gram Jaccard near-dup scoring on candidate pairs
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ids = d.filter(col("doc_id") < 40).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id1"))
+        .join(ids.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+      graft.pipeline.Dedup.ngramJaccard(pairs, d, "doc_id", "text")
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- MinHash-LSH band-bucket candidate pairs (8 hashes, 4 bands)
+    "q_lsh_pairs" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.lshCandidatePairs(d, "doc_id", "text", numHashes = 8, bands = 4)
+    }),
+
+    // ---- language-ID heuristic (stopword-marker argmax)
+    "q_lang_id" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+    }),
+
+    // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
+    // the scale path buckets by LSH/IVF first — same scoring expression)
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val joined = e.toDF("id1", "v1")
+        .join(broadcast(e.toDF("id2", "v2")), col("id1") < col("id2"))
+        .withColumn("rcos", round(graft.pipeline.Similarity.cosine(col("v1"), col("v2")), 5))
+      joined.filter(col("rcos") >= 0.3).select(col("id1"), col("id2"), col("rcos"))
+    }),
+
     // ---- brute-force cosine top-5 for the first 5 vectors
     "q_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -265,6 +325,93 @@ object SparkEntry {
         |  CASE WHEN 2 * len(list_filter(th, x -> (x >> CAST(b AS INT)) & 1 = 1)) - len(th) > 0
         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash
         |FROM h""".stripMargin,
+
+    "q_ffill" ->
+      """SELECT user_id, event_id,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER wc AS last_purchase_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  LAG(value, 2) OVER w AS prev2_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_session_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_secs,
+        |    CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER w > 3600 THEN 1 ELSE 0 END AS gap_flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value, ts_secs,
+        |    CAST(SUM(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value,
+        |  MIN(ts_secs) AS start_secs, MAX(ts_secs) AS end_secs
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
+        |    GREATEST(len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x))), 1) * 1.0, 6) AS jaccard
+        |FROM grams a, grams b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q_lsh_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, r.i AS hash_idx,
+        |    list_aggregate(list_transform(g, s ->
+        |      CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), '|', s)), 1, 15)) AS BIGINT)), 'min') AS mh
+        |  FROM grams, range(8) r(i)),
+        |banded AS (
+        |  SELECT doc_id, hash_idx // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+        |  FROM sig GROUP BY doc_id, hash_idx // 2)
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('el','la','que','de','es'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS fr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |       WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |       WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |       WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) AS rcos
+        |FROM ed a, ed b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.3""".stripMargin,
 
     "q_knn" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -103,6 +103,28 @@ object FeatEng {
 
   private def chunked[T](xs: Seq[T], size: Int): Seq[Seq[T]] =
     xs.grouped(size).toSeq
+
+  /** Wave acceptance-statistics accumulator. Top-level on purpose: an inner
+    * class would capture the enclosing scope (frames, pools) in `$outer`
+    * and ship it with every task result.
+    */
+  private[feateng] final class WaveAcc(nP: Int, nC: Int, nCross: Int) extends Serializable {
+    val pSum = new Array[Double](nP)
+    val pSumSq = new Array[Double](nP)
+    val bad = new Array[Long](nC)
+    val cSum = new Array[Double](nC)
+    val cSumSq = new Array[Double](nC)
+    val cross = new Array[Double](nCross)
+    def merge(o: WaveAcc): WaveAcc = {
+      var i = 0
+      while (i < nP) { pSum(i) += o.pSum(i); pSumSq(i) += o.pSumSq(i); i += 1 }
+      i = 0
+      while (i < nC) { bad(i) += o.bad(i); cSum(i) += o.cSum(i); cSumSq(i) += o.cSumSq(i); i += 1 }
+      i = 0
+      while (i < nCross) { cross(i) += o.cross(i); i += 1 }
+      this
+    }
+  }
 }
 
 final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
@@ -140,33 +162,61 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
     def nameOf(expr: FExpr): String = expr.name
 
     // ---------------------------------------------------------- guards
+    // Two single-pass tree-reduced RDD jobs (min/max/zeros, then exact
+    // <=2-distinct given min/max) — NOT chunked SQL aggregates: hundreds of
+    // aggregate expressions per job cost seconds of driver analysis/codegen
+    // each, and a wave needs stats for thousands of features.
     def guardStats(feats: Seq[String]): Map[String, GStats] = {
-      val minMaxZero = chunked(feats, cfg.aggChunkSize).flatMap { group =>
-        val aggs = group.flatMap { c =>
-          val d = q(c).cast("double")
-          Seq(min(d).as(s"mn"), max(d).as(s"mx"),
-            sum(when(d === 0.0, 1L).otherwise(0L)).as(s"z"))
+      val k = feats.size
+      val proj = df.select(feats.map(c => q(c).cast("double")): _*)
+      val (mns, mxs, zs) = proj.rdd.mapPartitions { rows =>
+        val mn = Array.fill(k)(Double.PositiveInfinity)
+        val mx = Array.fill(k)(Double.NegativeInfinity)
+        val z = new Array[Long](k)
+        rows.foreach { r =>
+          var i = 0
+          while (i < k) {
+            if (!r.isNullAt(i)) {
+              val v = r.getDouble(i)
+              if (v < mn(i)) mn(i) = v
+              if (v > mx(i)) mx(i) = v
+              if (v == 0.0) z(i) += 1
+            }
+            i += 1
+          }
         }
-        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        group.zipWithIndex.map { case (c, i) =>
-          c -> (Option(r.get(3 * i)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
-            Option(r.get(3 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
-            r.getLong(3 * i + 2))
+        Iterator.single((mn, mx, z))
+      }.treeReduce { case ((a1, b1, c1), (a2, b2, c2)) =>
+        var i = 0
+        while (i < k) {
+          if (a2(i) < a1(i)) a1(i) = a2(i)
+          if (b2(i) > b1(i)) b1(i) = b2(i)
+          c1(i) += c2(i)
+          i += 1
         }
-      }.toMap
-      // pass B: exact <=2-distinct via count of values != min and != max
-      val le2 = chunked(feats, cfg.aggChunkSize).flatMap { group =>
-        val aggs = group.map { c =>
-          val d = q(c).cast("double")
-          val (mn, mx, _) = minMaxZero(c)
-          sum(when(d =!= lit(mn) && d =!= lit(mx), 1L).otherwise(0L)).as("o")
+        (a1, b1, c1)
+      }
+      val mnB = mns; val mxB = mxs
+      val others = proj.rdd.mapPartitions { rows =>
+        val o = new Array[Long](k)
+        rows.foreach { r =>
+          var i = 0
+          while (i < k) {
+            if (!r.isNullAt(i)) {
+              val v = r.getDouble(i)
+              if (v != mnB(i) && v != mxB(i)) o(i) += 1
+            }
+            i += 1
+          }
         }
-        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        group.zipWithIndex.map { case (c, i) => c -> (r.getLong(i) == 0L) }
-      }.toMap
-      feats.map { c =>
-        val (mn, mx, z) = minMaxZero(c)
-        c -> GStats(mn, mx, z, le2(c))
+        Iterator.single(o)
+      }.treeReduce { (a, b) =>
+        var i = 0
+        while (i < k) { a(i) += b(i); i += 1 }
+        a
+      }
+      feats.zipWithIndex.map { case (c, i) =>
+        c -> GStats(mns(i), mxs(i), zs(i), others(i) == 0L)
       }.toMap
     }
 
@@ -183,40 +233,63 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       val waveDf = df.select(dfCols.map(q) ++ passThrough.map(q) ++
         cands.map { case (n, c, _) => c.cast("float").as(n) }: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // parent moments (computed once per distinct parent)
+      // Acceptance stats in ONE tree-reduced pass over the materialized wave
+      // frame: parent moments + per-candidate (bad, Σx, Σx², Σx·parent).
+      // A chunked-SQL-aggregate formulation costs seconds of driver
+      // analysis/codegen per ~100 candidates; this is a single job however
+      // wide the wave is.
       val parents = cands.flatMap(_._3).distinct
+      val pIdx = parents.zipWithIndex.toMap
+      val nP = parents.size
+      val nC = cands.size
+      // flattened cross-sum layout: candidate i's parents at crossOff(i)
+      val parentsOf: Array[Array[Int]] = cands.map(_._3.map(pIdx).toArray).toArray
+      val crossOff = new Array[Int](nC)
+      var coAcc = 0
+      cands.indices.foreach { i => crossOff(i) = coAcc; coAcc += parentsOf(i).length }
+      val nCross = coAcc
+      val proj = waveDf.select((parents ++ cands.map(_._1)).map(c => q(c).cast("double")): _*)
+      val acc = proj.rdd.mapPartitions { rows =>
+        val a = new WaveAcc(nP, nC, nCross)
+        val pv = new Array[Double](nP)
+        rows.foreach { r =>
+          var i = 0
+          while (i < nP) {
+            val v = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+            pv(i) = v
+            a.pSum(i) += v
+            a.pSumSq(i) += v * v
+            i += 1
+          }
+          var j = 0
+          while (j < nC) {
+            val isNull = r.isNullAt(nP + j)
+            val v = if (isNull) Double.NaN else r.getDouble(nP + j)
+            if (isNull || v.isNaN || v.isInfinite) a.bad(j) += 1
+            else {
+              a.cSum(j) += v
+              a.cSumSq(j) += v * v
+              val ps = parentsOf(j)
+              var t = 0
+              while (t < ps.length) {
+                a.cross(crossOff(j) + t) += v * pv(ps(t))
+                t += 1
+              }
+            }
+            j += 1
+          }
+        }
+        Iterator.single(a)
+      }.treeReduce(_ merge _)
       val pStats = mutable.HashMap[String, (Double, Double)]() // mean, stdPop
-      chunked(parents, cfg.aggChunkSize).foreach { group =>
-        val aggs = group.flatMap { p =>
-          val d = q(p).cast("double")
-          Seq(avg(d).as("m"), stddev_pop(d).as("s"))
-        }
-        val r = waveDf.agg(aggs.head, aggs.tail: _*).collect()(0)
-        group.zipWithIndex.foreach { case (p, i) =>
-          pStats(p) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
-        }
+      parents.zipWithIndex.foreach { case (p, i) =>
+        val m = acc.pSum(i) / nRows
+        pStats(p) = (m, math.sqrt(math.max(0.0, acc.pSumSq(i) / nRows - m * m)))
       }
       val stats = mutable.HashMap[String, CandStats]()
-      chunked(cands, math.max(50, cfg.aggChunkSize / 3)).foreach { group =>
-        val aggs = group.flatMap { case (n, _, ps) =>
-          val f = q(n) // float col
-          val d = f.cast("double")
-          val bad = sum(when(f.isNull || isnan(f) || f === lit(Float.PositiveInfinity) ||
-            f === lit(Float.NegativeInfinity), 1L).otherwise(0L)).as("b")
-          Seq(bad, sum(d).as("s"), sum(d * d).as("ss")) ++
-            ps.map(p => sum(d * q(p).cast("double")).as("x"))
-        }
-        val r = waveDf.agg(aggs.head, aggs.tail: _*).collect()(0)
-        var off = 0
-        group.foreach { case (n, _, ps) =>
-          val bad = r.getLong(off)
-          val s = if (r.isNullAt(off + 1)) Double.NaN else r.getDouble(off + 1)
-          val ss = if (r.isNullAt(off + 2)) Double.NaN else r.getDouble(off + 2)
-          val cross = ps.indices.map(i =>
-            if (r.isNullAt(off + 3 + i)) Double.NaN else r.getDouble(off + 3 + i))
-          stats(n) = CandStats(bad, s, ss, cross)
-          off += 3 + ps.size
-        }
+      cands.zipWithIndex.foreach { case ((n, _, ps), j) =>
+        val cross = ps.indices.map(t => acc.cross(crossOff(j) + t))
+        stats(n) = CandStats(acc.bad(j), acc.cSum(j), acc.cSumSq(j), cross)
       }
       val accepted = cands.flatMap { case (n, _, ps) =>
         val st = stats(n)

@@ -226,8 +226,11 @@ object AutoFeat {
     val nGb = nRows.toDouble * nCols / 250000000.0
     val dfSubs = cfg.maxGb match {
       case Some(gb) if nGb > gb =>
+        // uniform row subsample (autofeat.py:334-339); sample() stays fully
+        // distributed where orderBy(rand).limit(n) would serialize the scan
         val keepRows = (gb * 250000000.0 / nCols).toLong
-        oneHot.orderBy(rand(cfg.seed)).limit(keepRows.toInt)
+        oneHot.sample(withReplacement = false,
+          math.min(1.0, keepRows.toDouble / math.max(nRows, 1L)), cfg.seed)
       case _ => oneHot
     }
 
@@ -236,16 +239,15 @@ object AutoFeat {
       .engineerFeatures(dfSubs, feategCols, passThrough = Seq(targetCol))
     val symToCol = feategCols.zipWithIndex.map { case (c, i) => F.colToSymbol(c, i) -> c }.toMap
 
-    // selection: the reference uses L1 logistic CV for classification
-    // (featsel.py:68); we run the regression Lasso path on the 0/1 target
-    // as the selection surrogate (documented deviation — the final model
-    // below is a true balanced logistic) since Gram sufficient statistics
-    // cannot drive logistic CD
+    // selection: classification uses the balanced L1-logistic quadratic
+    // (working response + class weights, see FeatSel/LogisticLasso);
+    // regression the CV Lasso — both one weighted-Gram pass per fit group
     val goodCols: Seq[String] =
       if (cfg.featselRuns <= 0) eng.columns
       else {
         val picked = FeatSel.selectFeatures(eng.df, eng.columns, targetCol,
-          FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed))
+          FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed,
+            problemType = cfg.problemType))
         if (picked.isEmpty) oneHot.columns.toSeq.filter(_ != targetCol) else picked
       }
     val baseCols = oneHot.columns.toSeq.filter(_ != targetCol)

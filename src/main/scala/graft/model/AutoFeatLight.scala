@@ -17,17 +17,19 @@ final case class LightModel(
     features: Seq[String],
     computeRatio: Boolean,
     computeProduct: Boolean,
-    scaleDivisors: Option[Map[String, Double]]
+    scaleDivisors: Option[Map[String, Double]],
+    power: Option[graft.stats.YeoJohnson.Model] = None
 ) {
   /** Stateless serving projection for new data. */
   def transform(df: DataFrame): DataFrame = {
     val base = AutoFeatLight.withAdditional(df, goodColsOrg, computeRatio, computeProduct)
     val kept = base.select(features.map(c => col(AutoFeatLight.quoted(c))): _*)
-    scaleDivisors match {
+    val scaled = scaleDivisors match {
       case None => kept
       case Some(divs) =>
         kept.select(features.map(c => (col(AutoFeatLight.quoted(c)) / lit(divs(c))).as(c)): _*)
     }
+    power.fold(scaled)(_.transform(scaled))
   }
 }
 
@@ -35,6 +37,7 @@ final case class AutoFeatLight(
     computeRatio: Boolean = true,
     computeProduct: Boolean = true,
     scale: Boolean = false,
+    powerTransform: Boolean = false,
     corrthr: Double = 0.995,
     corrthrInit: Double = 0.99999
 ) {
@@ -55,14 +58,19 @@ final case class AutoFeatLight(
       } else (goodOrg, df.select(goodOrg.map(col): _*))
 
     val out = widened.select(features.map(c => col(AutoFeatLight.quoted(c))): _*)
-    if (scale) {
-      // sklearn StandardScaler(with_mean=False): divide by biased std
+    if (scale || powerTransform) {
+      // reference autofeatlight.py:270-277: StandardScaler(with_mean=False)
+      // first (biased std), then optional PowerTransformer(standardize=True)
       val st = Scaling.stats(out, features)
       val divs = features.zipWithIndex.map { case (c, i) =>
         c -> (if (st.stdPop(i) == 0.0 || st.stdPop(i).isNaN) 1.0 else st.stdPop(i))
       }.toMap
       val scaled = out.select(features.map(c => (col(AutoFeatLight.quoted(c)) / lit(divs(c))).as(c)): _*)
-      (scaled, LightModel(goodOrg, features, computeRatio, computeProduct, Some(divs)))
+      if (powerTransform) {
+        val (pt, ptModel) = graft.stats.YeoJohnson.fitTransform(scaled, features)
+        (pt, LightModel(goodOrg, features, computeRatio, computeProduct, Some(divs), Some(ptModel)))
+      } else
+        (scaled, LightModel(goodOrg, features, computeRatio, computeProduct, Some(divs)))
     } else
       (out, LightModel(goodOrg, features, computeRatio, computeProduct, None))
   }

@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  /** Dot product: uses the native codegen'd `vec_dot` expression when the
+    * session was built with GraftExtensions (identical result — same
+    * left-to-right double accumulation); falls back to the pure-built-in
+    * higher-order-function formulation otherwise.
+    */
+  def dot(a: Column, b: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("vec_dot"))) call_function("vec_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -51,23 +51,65 @@ object FeatSel {
     spark.createDataFrame(joined, schema)
   }
 
-  /** One selection run's Gram universe: index layout over
+  /** One selection run's fit universe: index layout over
     * [features (d) | shuffled copies (d, optional) | gaussian (g)].
     */
   private final class RunGrams(
-      val lasso: GramLasso, val d: Int, val hasShuffled: Boolean, val g: Int) {
+      val lasso: CvLasso, val d: Int, val hasShuffled: Boolean, val g: Int) {
     def featureIdx(i: Int): Int = i
     def shufIdx(i: Int): Int = { require(hasShuffled); d + i }
     def gaussIdx(i: Int): Int = (if (hasShuffled) 2 * d else d) + i
   }
 
-  /** Build per-fold Grams for a frame (already holding noise columns). */
+  /** Column-count threshold between the two solver regimes: below it, fold
+    * Grams (folds·d²/2 doubles of sufficient statistics, one treeAggregate)
+    * are cheap and selection never re-touches the rows; above it, d² beats
+    * the raw n·d block of the admission-bounded subsample itself, so the
+    * block is collected once and all fits run dense on the driver — the
+    * same bytes model (rows·cols·4 <= max_gb) the reference holds in RAM.
+    */
+  private val gramMaxCols = 1200
+
+  /** Build the solver for one selection run's frame (already holding noise
+    * columns). `weightCol` (classification) makes fits IRLS-weighted.
+    */
   private def runGrams(frame: DataFrame, featCols: Seq[String], shufCols: Seq[String],
-                       gaussCols: Seq[String], targetCol: String, folds: Int): RunGrams = {
+                       gaussCols: Seq[String], targetCol: String, folds: Int,
+                       weightCol: Option[String] = None): RunGrams = {
     val all = featCols ++ shufCols ++ gaussCols
-    val withFold = frame.withColumn("__fold", pmod(monotonically_increasing_id(), lit(folds)).cast("int"))
-    val grams = Gram.compute(withFold, all, Some(targetCol), Some("__fold"), folds)
-    new RunGrams(new GramLasso(grams), featCols.size, shufCols.nonEmpty, gaussCols.size)
+    val solver: CvLasso =
+      if (all.size <= gramMaxCols) {
+        val withFold = frame.withColumn("__fold", pmod(monotonically_increasing_id(), lit(folds)).cast("int"))
+        val grams = Gram.compute(withFold, all, Some(targetCol), Some("__fold"), folds, weightCol)
+        new GramLasso(grams)
+      } else {
+        val wExpr = weightCol.map(q).getOrElse(lit(1.0))
+        val rows = frame.select(
+          Seq(wExpr.cast("double").as("__wv"), q(targetCol).cast("double").as("__yv")) ++
+            all.map(c => q(c).cast("double")): _*).collect()
+        val d = all.size
+        val xb = Array.fill(d)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+        val yb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        val wb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        rows.foreach { r =>
+          var bad = false
+          var i = 0
+          while (i < d + 2 && !bad) {
+            if (r.isNullAt(i) || r.getDouble(i).isNaN) bad = true
+            i += 1
+          }
+          if (!bad && r.getDouble(0) > 0.0) {
+            wb += r.getDouble(0)
+            yb += r.getDouble(1)
+            var j = 0
+            while (j < d) { xb(j) += r.getDouble(2 + j); j += 1 }
+          }
+        }
+        val y = yb.result()
+        val foldOf = Array.tabulate(y.length)(_ % folds)
+        new DenseLasso(xb.map(_.result()), y, wb.result(), foldOf, folds)
+      }
+    new RunGrams(solver, featCols.size, shufCols.nonEmpty, gaussCols.size)
   }
 
   /** |coef| per feature subset with noise columns appended; returns the
@@ -123,24 +165,47 @@ object FeatSel {
     noiseFilter(rg, good.toVector.sorted)
   }
 
-  /** Reference `select_features` (featsel.py:179-286). */
+  /** Reference `select_features` (featsel.py:179-286). Classification
+    * (featsel.py:68: L1 logistic CV, balanced class weights) runs the same
+    * control flow with every Lasso fit replaced by the first proximal-Newton
+    * step of the balanced L1 logistic objective: working response
+    * z = 4(y - 1/2) with per-class weights — i.e. the quadratic expansion of
+    * the penalized log-likelihood around beta = 0 (LogisticLasso round 0) —
+    * so run Grams stay one pass each and all fits stay driver-side. The
+    * target is NOT scaled for classification (featsel.py:218).
+    */
   def selectFeatures(df: DataFrame, featureCols: Seq[String], targetCol: String,
                      cfg: Config = Config()): Seq[String] = {
-    require(cfg.problemType == "regression",
-      "classification selection lands with the classifier pipeline")
+    val isClf = cfg.problemType == "classification"
+    require(isClf || cfg.problemType == "regression", s"unknown problemType ${cfg.problemType}")
     val spark = df.sparkSession
     val keep = cfg.keep.filter(featureCols.contains)
-    // scale features and target (nan-aware, ddof=0)
-    val st = Scaling.stats(df, featureCols :+ targetCol)
-    val scaled = df.select((featureCols :+ targetCol).zipWithIndex.map { case (c, i) =>
+    // scale features (and, for regression, the target) — nan-aware, ddof=0
+    val st = Scaling.stats(df, if (isClf) featureCols else featureCols :+ targetCol)
+    val scaledFeatCols = featureCols.zipWithIndex.map { case (c, i) =>
       ((q(c).cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(c)
-    }: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val weightCol: Option[String] = if (isClf) Some("__w") else None
+    val targetAndWeight: Seq[org.apache.spark.sql.Column] =
+      if (isClf) {
+        val (w0, w1) = LogisticLasso.classWeights(df, targetCol)
+        val y = q(targetCol).cast("double")
+        Seq((y * 4.0 - 2.0).as(targetCol), when(y > 0.5, lit(w1)).otherwise(lit(w0)).as("__w"))
+      } else {
+        val i = featureCols.size
+        Seq(((q(targetCol).cast("double") - lit(st.mean(i))) / lit(st.stdPop(i))).as(targetCol))
+      }
+    val scaled = df.select(scaledFeatCols ++ targetAndWeight: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nTotal = scaled.count()
     val d = featureCols.size
 
     val selectedLists = (0 until math.max(0, cfg.featselRuns)).map { run =>
-      val nSub = math.max(10L, (0.85 * nTotal).toLong)
-      val sub = scaled.orderBy(rand(cfg.seed + run)).limit(nSub.toInt)
+      // 85% row subsample per run (featsel.py:229-231). sample() keeps the
+      // subsample fully distributed — orderBy(rand).limit(n) would funnel
+      // the whole frame through a global sort + one partition at scale.
+      val sub = (if (nTotal <= 12) scaled
+                 else scaled.sample(withReplacement = false, 0.85, cfg.seed + run))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nRows = sub.count()
       val useShuffled = nRows > 50 && d > 1
@@ -151,7 +216,7 @@ object FeatSel {
       val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 131 + run * 17 + i).as(c) }: _*)
       val shufCols = if (useShuffled) featureCols.indices.map(i => s"__shuf_$i") else Nil
-      val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds)
+      val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol)
       val picked = selectRun(rg, nRows, new scala.util.Random(cfg.seed + 7919 * (run + 1)))
       sub.unpersist()
       picked.map(featureCols)
@@ -181,14 +246,14 @@ object FeatSel {
     // final noise filtering on the full scaled frame
     if (goodCols.nonEmpty) {
       val useShuffled = nTotal > 50 && goodCols.size > 1
-      val base = scaled.select((goodCols :+ targetCol).map(q): _*)
+      val base = scaled.select((goodCols ++ weightCol :+ targetCol).map(q): _*)
       val frame0 = if (useShuffled) withShuffledCopy(base, goodCols, cfg.seed * 977 + 5) else base
       val nGauss = math.max(3, goodCols.size / 2)
       val gaussCols = (0 until nGauss).map(i => s"__gauss_$i")
       val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 677 + i).as(c) }: _*)
       val shufCols = if (useShuffled) goodCols.indices.map(i => s"__shuf_$i") else Nil
-      val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds)
+      val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol)
       val kept = noiseFilter(rg, goodCols.indices)
       goodCols = kept.map(goodCols)
     }

@@ -11,12 +11,10 @@ import graft.stats.Gram
   * (coordinate descent approximates the exact LARS path; parity target is
   * the SELECTED SET, not coefficient paths — SURVEY.md §7.4.2).
   */
-final class GramLasso(folds: Array[Gram]) {
+final class GramLasso(folds: Array[Gram]) extends CvLasso {
   private val k = folds.length
   private val total: Gram = Gram.total(folds)
   val n: Long = total.n
-
-  final case class Fit(coef: Array[Double], intercept: Double, alpha: Double)
 
   /** Coordinate descent at one λ on centered (G=XᵀX/n−μμᵀ, c=Xᵀy/n−μy·μx).
     *
@@ -86,7 +84,7 @@ final class GramLasso(folds: Array[Gram]) {
 
   private def centered(g: Gram, idx: Array[Int]): (Array[Array[Double]], Array[Double], Array[Double], Double) = {
     val d = idx.length
-    val nn = g.n.toDouble
+    val nn = g.sw // weight sum (== row count for unweighted Grams)
     val mu = idx.map(i => g.sx(i) / nn)
     val muY = g.sy / nn
     val gm = Array.ofDim[Double](d, d)
@@ -107,6 +105,7 @@ final class GramLasso(folds: Array[Gram]) {
   private def minus(a: Gram, b: Gram): Gram = {
     val g = new Gram(a.d)
     g.n = a.n - b.n
+    g.sw = a.sw - b.sw
     var i = 0
     while (i < a.d) { g.sx(i) = a.sx(i) - b.sx(i); g.sxy(i) = a.sxy(i) - b.sxy(i); i += 1 }
     i = 0
@@ -118,8 +117,8 @@ final class GramLasso(folds: Array[Gram]) {
   /** Held-out MSE of (beta, intercept over train means) on fold Gram. */
   private def foldMse(fold: Gram, idx: Array[Int], beta: Array[Double],
                       muTrain: Array[Double], muYTrain: Double): Double = {
-    val nf = fold.n.toDouble
-    if (nf == 0) return Double.NaN
+    val nf = fold.sw
+    if (nf <= 0) return Double.NaN
     val b0 = muYTrain - dot(muTrain, beta)
     // E[(y - Xb - b0)^2] over fold, from raw sums
     var quad = 0.0
@@ -148,8 +147,10 @@ final class GramLasso(folds: Array[Gram]) {
     * LARS-style cap (min(n-1, d) bounded by `maxActive`) — solutions denser
     * than that are never CV-optimal in this pipeline and dominate CD cost.
     */
-  def cvFit(idx: Array[Int], nAlphas: Int = 60, eps: Double = 1e-3,
-            maxActive: Int = 300): Fit = {
+  override def cvFit(idx: Array[Int]): LassoFit = cvFit(idx, 60, 1e-3, 300)
+
+  def cvFit(idx: Array[Int], nAlphas: Int, eps: Double,
+            maxActive: Int): LassoFit = {
     val d = idx.length
     require(d > 0, "empty column subset")
     val activeCap = math.min(math.min(n - 1, d.toLong), maxActive.toLong).toInt
@@ -203,6 +204,6 @@ final class GramLasso(folds: Array[Gram]) {
     val rho = c.clone()
     a = 0
     while (a <= best) { cd(gm, c, alphas(a), beta, rho); a += 1 }
-    Fit(beta, muY - dot(mu, beta), alphas(best))
+    LassoFit(beta, muY - dot(mu, beta), alphas(best))
   }
 }

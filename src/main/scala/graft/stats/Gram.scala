@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * and on chunked column subsets, so this bound holds by construction).
   */
 final class Gram(val d: Int) extends Serializable {
-  var n: Long = 0L
+  var n: Long = 0L // row count (unweighted)
+  var sw: Double = 0.0 // weight sum; == n for unweighted Grams
   val sx = new Array[Double](d)
   val sxy = new Array[Double](d)
   val sxx = new Array[Double](d * (d + 1) / 2) // packed upper triangle, row-major
@@ -28,30 +29,32 @@ final class Gram(val d: Int) extends Serializable {
 
   def xx(i: Int, j: Int): Double = if (i <= j) sxx(idx(i, j)) else sxx(idx(j, i))
 
-  def add(x: Array[Double], y: Double): this.type = {
+  def add(x: Array[Double], y: Double, w: Double = 1.0): this.type = {
     n += 1
+    sw += w
     var i = 0
     var p = 0
     while (i < d) {
       val xi = x(i)
-      sx(i) += xi
-      sxy(i) += xi * y
+      sx(i) += w * xi
+      sxy(i) += w * xi * y
       var j = i
       while (j < d) {
-        sxx(p) += xi * x(j)
+        sxx(p) += w * xi * x(j)
         p += 1
         j += 1
       }
       i += 1
     }
-    sy += y
-    syy += y * y
+    sy += w * y
+    syy += w * y * y
     this
   }
 
   def merge(o: Gram): this.type = {
     require(o.d == d)
     n += o.n
+    sw += o.sw
     var i = 0
     while (i < d) { sx(i) += o.sx(i); sxy(i) += o.sxy(i); i += 1 }
     i = 0
@@ -61,16 +64,18 @@ final class Gram(val d: Int) extends Serializable {
     this
   }
 
-  def mean(i: Int): Double = sx(i) / n
-  def meanY: Double = sy / n
+  def mean(i: Int): Double = sx(i) / sw
+  def meanY: Double = sy / sw
 
-  /** Population variance (ddof=0, numpy np.var / nanstd default). */
-  def varPop(i: Int): Double = { val m = mean(i); sxx(idx(i, i)) / n - m * m }
+  /** Population variance (ddof=0, numpy np.var / nanstd default);
+    * weight-normalized when the Gram is weighted.
+    */
+  def varPop(i: Int): Double = { val m = mean(i); sxx(idx(i, i)) / sw - m * m }
   def stdPop(i: Int): Double = math.sqrt(math.max(0.0, varPop(i)))
-  def varPopY: Double = { val m = meanY; syy / n - m * m }
+  def varPopY: Double = { val m = meanY; syy / sw - m * m }
 
-  /** Centered covariance cov(i,j) * n (population scaled by n). */
-  def cov(i: Int, j: Int): Double = xx(i, j) / n - mean(i) * mean(j)
+  /** Centered covariance (population scaled by the weight sum). */
+  def cov(i: Int, j: Int): Double = xx(i, j) / sw - mean(i) * mean(j)
 
   /** Pearson correlation of columns i and j. */
   def corr(i: Int, j: Int): Double = {
@@ -79,7 +84,7 @@ final class Gram(val d: Int) extends Serializable {
   }
 
   def corrWithY(i: Int): Double = {
-    val c = sxy(i) / n - mean(i) * meanY
+    val c = sxy(i) / sw - mean(i) * meanY
     val den = stdPop(i) * math.sqrt(math.max(0.0, varPopY))
     if (den == 0.0) Double.NaN else c / den
   }
@@ -100,7 +105,7 @@ final class Gram(val d: Int) extends Serializable {
   /** Gram restricted to a column subset (driver-side, cheap). */
   def subset(cols: Array[Int]): Gram = {
     val g = new Gram(cols.length)
-    g.n = n; g.sy = sy; g.syy = syy
+    g.n = n; g.sw = sw; g.sy = sy; g.syy = syy
     var i = 0
     while (i < cols.length) {
       g.sx(i) = sx(cols(i)); g.sxy(i) = sxy(cols(i))
@@ -118,17 +123,24 @@ object Gram {
     * null/NaN among the selected columns are skipped (fit-path data is
     * finite by construction; this guards stray bad rows).
     * When `foldCol` is given (values 0..k-1), returns one Gram per fold.
+    * When `weightCol` is given, all sums are weight-scaled (rows with
+    * null/NaN/nonpositive weight are skipped) — the backbone for the
+    * IRLS-weighted quadratic of the L1 logistic path.
     */
   def compute(df: DataFrame, featureCols: Seq[String], targetCol: Option[String] = None,
-              foldCol: Option[String] = None, k: Int = 1): Array[Gram] = {
+              foldCol: Option[String] = None, k: Int = 1,
+              weightCol: Option[String] = None): Array[Gram] = {
     val d = featureCols.size
     val cols = foldCol.map(col(_).cast("int")).toSeq ++
+      weightCol.map(col(_).cast("double")).toSeq ++
       targetCol.map(col(_).cast("double")).toSeq ++
       featureCols.map(c => col(c).cast("double"))
     val hasY = targetCol.isDefined
     val hasFold = foldCol.isDefined
+    val hasW = weightCol.isDefined
     val nFolds = if (hasFold) k else 1
-    val yOff = if (hasFold) 1 else 0
+    val wOff = if (hasFold) 1 else 0
+    val yOff = wOff + (if (hasW) 1 else 0)
     val xOff = yOff + (if (hasY) 1 else 0)
     // buffers are created per partition (a closure-captured zero of size
     // O(folds·d²) would be broadcast with every stage)
@@ -148,9 +160,11 @@ object Gram {
         }
         val y = if (hasY && !row.isNullAt(yOff)) row.getDouble(yOff) else 0.0
         if (hasY && (row.isNullAt(yOff) || y.isNaN)) bad = true
+        val w = if (hasW && !row.isNullAt(wOff)) row.getDouble(wOff) else 1.0
+        if (hasW && (row.isNullAt(wOff) || w.isNaN || w <= 0.0)) bad = true
         if (!bad) {
           val f = if (hasFold) row.getInt(0) % nFolds else 0
-          acc(f).add(x, y)
+          acc(f).add(x, y, w)
         }
       }
       Iterator.single(acc)

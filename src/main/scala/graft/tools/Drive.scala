@@ -16,6 +16,7 @@ object Drive {
       .appName("graft-drive")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +76,42 @@ object Drive {
       println("ASOF_ROWS=" + joined.count() + " MATCHED=" +
         joined.filter(col("asof_session_len").isNotNull).count())
       joined.orderBy("conv_id", "turn_idx").show(5)
+    }
+    // Yeo-Johnson over a skewed real feature + a constant column (hostile)
+    {
+      import graft.stats.YeoJohnson
+      val in = f.select(col("text_len").cast("double").as("tl"), lit(3.0).as("const"))
+      val (out, m) = YeoJohnson.fitTransform(in, Seq("tl", "const"))
+      println("YJ_LAMBDAS=" + m.lambdas.mkString(", "))
+      val r = out.agg(avg("tl"), stddev_pop("tl"), skewness("tl")).collect()(0)
+      println(f"YJ_TL mean=${r.getDouble(0)}%.6f std=${r.getDouble(1)}%.6f skew=${r.getDouble(2)}%.4f")
+      println("YJ_CONST_FINITE=" + out.filter(col("const").isNull || isnan(col("const"))).count())
+    }
+    // classification selection (balanced L1-logistic quadratic) on a planted
+    // logistic target from real transcript features
+    {
+      import graft.select.{FeatSel, LogisticLasso}
+      val feats = Seq("text_len", "secs_since_prev", "turns_so_far", "cum_tool_calls")
+      val base = f.select(feats.map(c => col(c).cast("double")): _*)
+      val withY = base.withColumn("y",
+        (lit(0.002) * col("text_len") - lit(0.5) * col("turns_so_far") + randn(7) > 0).cast("double"))
+      val picked = FeatSel.selectFeatures(withY, feats, "y",
+        FeatSel.Config(problemType = "classification", featselRuns = 2))
+      println("CLF_SELECTED=" + picked.mkString(" | "))
+      val fit = LogisticLasso.cvFit(withY, feats, "y", rounds = 2)
+      println("CLF_COEF=" + fit.cols.zip(fit.coef).map { case (c, b) => f"$c=$b%.4f" }.mkString(" "))
+    }
+    // native vec_dot: parity with HOF path, nulls, length mismatch, empties
+    {
+      import spark.implicits._
+      println("VEC_DOT_REGISTERED=" + spark.catalog.functionExists("vec_dot"))
+      val vdf = Seq(
+        (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(4.0f, 5.0f, 6.0f))),
+        (None, Some(Seq(1.0f))),
+        (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
+        (Some(Seq.empty[Float]), Some(Seq.empty[Float]))
+      ).toDF("a", "b")
+      vdf.select(call_function("vec_dot", col("a"), col("b")).as("d")).show()
     }
     spark.stop()
   }

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.time.{AsOfJoin, PointInTime, TranscriptGen}
+
+/** Dumps the physical plans of the flagship operators for scale review
+  * (PLANS.md). Checks, per plan, the properties that matter at 100 TB:
+  * single exchange for the point-in-time layer, shuffle-free synthesis
+  * projection, broadcast on the knn query side, pushed filters/pruned
+  * schema on parquet scans.
+  *
+  * Run: sbt "runMain graft.tools.Plans"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    def section(name: String)(body: => Unit): Unit = {
+      println(s"\n===== $name =====")
+      body
+    }
+
+    val turns = TranscriptGen.generate(spark, 500, 20, 42).toDF()
+
+    section("pointInTime.baseFeatures — ONE exchange + ONE sort for all windows") {
+      PointInTime.baseFeatures(turns).explain("formatted")
+    }
+
+    section("as-of join — union + single window, no join explosion") {
+      val base = PointInTime.baseFeatures(turns)
+      val sessions = base.groupBy(col("conv_id"), col("session_id"))
+        .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"))
+      AsOfJoin.asof(base.select("conv_id", "turn_idx", "ts"), sessions,
+        "conv_id", "ts", Seq("session_len")).explain("formatted")
+    }
+
+    section("synthesis projection — shuffle-free, whole-stage codegen") {
+      import graft.expr.{Compile, F, Var}
+      val base = PointInTime.baseFeatures(turns)
+      val winners = Seq(
+        F.log(Var("text_len")), F.sqrt(Var("cum_text_len")),
+        F.mul(F.log(Var("cum_text_len")), F.recip(Var("turns_so_far"))))
+      base.select(col("conv_id") +: winners.map(e =>
+        Compile.toColumn(e, s => col(s).cast("double")).as(e.name)): _*).explain("formatted")
+    }
+
+    section("parquet scan pruning — filter + column pushdown reach the scan") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), log(col("l_quantity")).as("log_q"))
+        .explain("formatted")
+    }
+
+    section("knn — broadcast query side, native vec_dot in the scorer") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Similarity.bruteForceKnn(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5).explain("formatted")
+    }
+
+    spark.stop()
+  }
+}

@@ -37,7 +37,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchall()
+                f"SELECT * FROM read_parquet('{outdir}/{name}.parquet/*.parquet')").fetchall()
             gcols = [d[0] for d in con.description]
             exp = con.execute(sql).fetchall()
             ecols = [d[0] for d in con.description]
