@@ -125,12 +125,15 @@ object SparkEntry {
       graft.pipeline.Dedup.exact(d, "doc_id", "text")
     }),
 
-    // ---- minhash signatures over word 3-grams (md5-derived hashes)
+    // ---- minhash signatures over word 3-grams (one md5 per gram, family by
+    // modular arithmetic; bases materialized once — HOFs get no codegen CSE)
     "q_minhash" -> ((s, dir) => {
+      import graft.pipeline.Dedup
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"),
-        posexplode(graft.pipeline.Dedup.minhashSignature(col("text"), numHashes = 8))
-          .as(Seq("hash_idx", "min_hash")))
+      val based = d.select(col("doc_id"),
+        transform(Dedup.wordNgrams(col("text"), 3), g => Dedup.baseHash(g)).as("__bases"))
+      based.select(col("doc_id"),
+          posexplode(Dedup.minhashFromBases(col("__bases"), 8)).as(Seq("hash_idx", "min_hash")))
         .select(col("doc_id"), col("hash_idx").cast("long").as("hash_idx"), col("min_hash"))
     }),
 
@@ -302,19 +305,27 @@ object SparkEntry {
         |  CAST(g.dup_count AS BIGINT) AS dup_count
         |FROM f JOIN g USING (fingerprint)""".stripMargin,
 
-    "q_minhash" ->
-      """WITH grams AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
-        |    i -> concat_ws(' ',
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
-        |  FROM documents)
-        |SELECT doc_id, CAST(r.i AS BIGINT) AS hash_idx,
-        |  list_aggregate(list_transform(g, s ->
-        |    CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), '|', s)), 1, 15)) AS BIGINT)), 'min') AS min_hash
-        |FROM grams, range(8) r(i)""".stripMargin,
+    "q_minhash" -> {
+      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+      val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ',
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+         |  FROM documents),
+         |bases AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+         |  FROM grams),
+         |consts(i, a, b, c) AS (VALUES ${consts})
+         |SELECT doc_id, CAST(consts.i AS BIGINT) AS hash_idx,
+         |  list_aggregate(list_transform(bh, h ->
+         |    (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS min_hash
+         |FROM bases, consts""".stripMargin
+    },
 
     "q_simhash" ->
       """WITH h AS (SELECT doc_id, list_transform(
@@ -364,27 +375,35 @@ object SparkEntry {
         |    GREATEST(len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x))), 1) * 1.0, 6) AS jaccard
         |FROM grams a, grams b WHERE a.doc_id < b.doc_id""".stripMargin,
 
-    "q_lsh_pairs" ->
-      """WITH grams AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
-        |    i -> concat_ws(' ',
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
-        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, r.i AS hash_idx,
-        |    list_aggregate(list_transform(g, s ->
-        |      CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), '|', s)), 1, 15)) AS BIGINT)), 'min') AS mh
-        |  FROM grams, range(8) r(i)),
-        |banded AS (
-        |  SELECT doc_id, hash_idx // 2 AS band,
-        |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
-        |  FROM sig GROUP BY doc_id, hash_idx // 2)
-        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM banded a JOIN banded b
-        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "q_lsh_pairs" -> {
+      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+      val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ',
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+         |  FROM documents),
+         |bases AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+         |  FROM grams),
+         |consts(i, a, b, c) AS (VALUES ${consts}),
+         |sig AS (
+         |  SELECT doc_id, consts.i AS hash_idx,
+         |    list_aggregate(list_transform(bh, h ->
+         |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
+         |  FROM bases, consts),
+         |banded AS (
+         |  SELECT doc_id, hash_idx // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+         |  FROM sig GROUP BY doc_id, hash_idx // 2)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+    },
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

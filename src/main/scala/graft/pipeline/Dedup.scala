@@ -11,11 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 63-bit hash h_i(s) = int(md5(i|s)[0:15 hex]); same formula is
-    * expressible in DuckDB for the oracle.
+  /** MinHash hash family. ONE md5 per shingle produces a 61-bit base hash;
+    * the family is derived by 2-universal modular arithmetic
+    * h_i = (a_i·(h>>31) + b_i·(h&(2^31−1)) + c_i) mod (2^61−1) — every
+    * intermediate stays < 2^62, so the identical expression is exact (no
+    * overflow) in Spark longs AND DuckDB BIGINTs (which would error on
+    * overflow). This cuts the dominant cost of minhash/LSH at corpus scale
+    * from numHashes md5 evaluations per shingle to one.
     */
-  private def h(i: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(i.toString), lit("|"), s)), 1, 15), 16, 10).cast("long")
+  val MinhashMod: Long = (1L << 61) - 1
+
+  /** Deterministic per-index family constants (30-bit, odd a). */
+  def hashA(i: Int): Long = (((1103515245L * (i + 1) + 12345) >>> 3) & 0x3FFFFFFFL) | 1L
+  def hashB(i: Int): Long = (((69069L * (i + 7) + 362437) >>> 2) & 0x3FFFFFFFL) | 1L
+  def hashC(i: Int): Long = ((2654435761L * (i + 13)) >>> 4) & 0x3FFFFFFFL
+
+  /** 61-bit base hash of a string: int(md5(s)[0:15 hex]) mod (2^61−1). */
+  def baseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashMod))
+
+  /** Family member i applied to a base-hash column. */
+  def familyHash(i: Int, h: Column): Column =
+    pmod(lit(hashA(i)) * shiftright(h, 31) +
+      lit(hashB(i)) * h.bitwiseAND(lit(0x7FFFFFFFL)) + lit(hashC(i)), lit(MinhashMod))
 
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * Returns (id, fingerprint, is_canonical, dup_count).
@@ -48,32 +66,51 @@ object Dedup {
     ))
   }
 
-  /** MinHash signature (numHashes values) over word n-gram shingles. */
-  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column = {
-    val sh = wordNgrams(text, n)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s =>
-        conv(substring(md5(concat(lit(i.toString), lit("|"), s)), 1, 15), 16, 10).cast("long")))
-    }: _*)
-  }
+  /** MinHash signature (numHashes values) over word n-gram shingles.
+    * Base hashes are computed once per shingle (single md5 pass; the
+    * repeated subtree is eliminated by codegen subexpression elimination),
+    * then each family member is pure integer arithmetic.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column =
+    minhashFromBases(transform(wordNgrams(text, n), s => baseHash(s)), numHashes)
+
+  /** Signature from a precomputed base-hash array (materialize the bases
+    * column first when composing multi-step pipelines).
+    */
+  def minhashFromBases(bases: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i => array_min(transform(bases, h => familyHash(i, h)))): _*)
 
   /** LSH candidate pairs: signatures split into `bands` bands; documents
     * sharing any band bucket become a candidate pair (id1 < id2).
-    * Output: (id1, id2) distinct. Linear scan + groupBy on band keys.
+    * Output: (id1, id2) distinct.
+    *
+    * Physical shape: one scan (base hashes computed once), one shuffle
+    * (groupBy band bucket), pairs exploded WITHIN each bucket — no
+    * self-join, so the signature pipeline is never evaluated twice and
+    * there is no join-shuffle of the exploded band rows. Bucket sizes are
+    * bounded by construction (a bucket is a near-duplicate cluster), so the
+    * per-bucket C(k,2) explode stays small; a pathological mega-bucket is a
+    * data-quality signal (e.g. empty documents), not a plan problem.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, n)
-    val banded = df.select(col(idCol).as("id"), sig.as("sig"))
+    // materialize base hashes first: ONE md5 pass, then arithmetic per member
+    val based = df.select(col(idCol).as("id"),
+      transform(wordNgrams(col(textCol), n), s => baseHash(s)).as("__bases"))
+    val banded = based.select(col("id"), minhashFromBases(col("__bases"), numHashes).as("sig"))
       .select(col("id"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
       )).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
 
