@@ -19,7 +19,7 @@ object Bench {
     * Returns the output row count (forces full evaluation via an aggregate
     * over every feature column — nothing is pruned away).
     */
-  def transcriptPipeline(spark: SparkSession, turns: DataFrame): (Long, Int) = {
+  def transcriptPipeline(spark: SparkSession, turns: DataFrame, nFormulas: Int = 40): (Long, Int) = {
     // base features: ONE window pass, persisted so the session-summary
     // branch and the as-of left side don't recompute it (at cluster scale
     // this is the stage-boundary checkpoint)
@@ -44,9 +44,11 @@ object Bench {
       F.mul(v("cum_len_tool"), F.recip(F.add(v("cum_text_len"), F.num(1)))),
       F.sq(F.log(v("text_len")))
     )
-    val winners = baseWinners ++ baseWinners.combinations(2).take(28).map {
-      case Seq(a, b) => F.mul(a, b)
-    }
+    // widen to nFormulas via pair/triple products (the production
+    // regeneration projection typically carries O(100) winner formulas)
+    val pairs = baseWinners.combinations(2).map { case Seq(a, b) => F.mul(a, b) }
+    val triples = baseWinners.combinations(3).map { case Seq(a, b, c) => F.mul(F.mul(a, b), c) }
+    val winners = (baseWinners.iterator ++ pairs ++ triples).take(math.max(nFormulas, 13)).toSeq
     val featCols = winners.map(e =>
       Compile.toColumn(e, s => col(s).cast("double")).as(e.name))
     val out = joined.select(
