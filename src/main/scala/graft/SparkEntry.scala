@@ -126,14 +126,12 @@ object SparkEntry {
     }),
 
     // ---- minhash signatures over word 3-grams (one md5 per gram, family by
-    // modular arithmetic; bases materialized once — HOFs get no codegen CSE)
+    // modular arithmetic; native minhash_signature expression when loaded)
     "q_minhash" -> ((s, dir) => {
-      import graft.pipeline.Dedup
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val based = d.select(col("doc_id"),
-        transform(Dedup.wordNgrams(col("text"), 3), g => Dedup.baseHash(g)).as("__bases"))
-      based.select(col("doc_id"),
-          posexplode(Dedup.minhashFromBases(col("__bases"), 8)).as(Seq("hash_idx", "min_hash")))
+      d.select(col("doc_id"),
+          posexplode(graft.pipeline.Dedup.minhashSignature(col("text"), 8))
+            .as(Seq("hash_idx", "min_hash")))
         .select(col("doc_id"), col("hash_idx").cast("long").as("hash_idx"), col("min_hash"))
     }),
 

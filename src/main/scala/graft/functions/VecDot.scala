@@ -93,5 +93,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vec_dot takes exactly 2 arguments")
         VecDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_signature(text, numHashes, n)")
+        def intArg(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+        }
+        MinhashSig(args.head, intArg(args(1), "numHashes"), intArg(args(2), "n"))
+      }))
   }
 }

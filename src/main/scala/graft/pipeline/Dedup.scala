@@ -67,12 +67,20 @@ object Dedup {
   }
 
   /** MinHash signature (numHashes values) over word n-gram shingles.
-    * Base hashes are computed once per shingle (single md5 pass; the
-    * repeated subtree is eliminated by codegen subexpression elimination),
-    * then each family member is pure integer arithmetic.
+    *
+    * Fast path: the native `minhash_signature` expression (one tight JVM
+    * loop per row — see functions.MinhashSig) when the session carries
+    * GraftExtensions; identical output otherwise via built-ins (base hashes
+    * computed once per shingle, family members pure integer arithmetic —
+    * but each higher-order-function step is interpreted per element).
     */
-  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column =
-    minhashFromBases(transform(wordNgrams(text, n), s => baseHash(s)), numHashes)
+  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("minhash_signature")))
+      call_function("minhash_signature", text, lit(numHashes), lit(n))
+    else
+      minhashFromBases(transform(wordNgrams(text, n), s => baseHash(s)), numHashes)
+  }
 
   /** Signature from a precomputed base-hash array (materialize the bases
     * column first when composing multi-step pipelines).
@@ -95,10 +103,8 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // materialize base hashes first: ONE md5 pass, then arithmetic per member
-    val based = df.select(col(idCol).as("id"),
-      transform(wordNgrams(col(textCol), n), s => baseHash(s)).as("__bases"))
-    val banded = based.select(col("id"), minhashFromBases(col("__bases"), numHashes).as("sig"))
+    val banded = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, n).as("sig"))
       .select(col("id"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
