@@ -35,7 +35,7 @@ object FeatureJob {
 
     val turns =
       if (input.startsWith("gen:")) TranscriptGen.generate(spark, input.drop(4).toLong).toDF()
-      else spark.read.parquet(input)
+      else graft.sources.Tables.read(spark, input) // iceberg on a cluster, parquet locally
     val base = PointInTime.baseFeatures(turns)
     val features = PointInTime.numericFeatureCols.filterNot(_ == "turn_idx")
     val out = base.select(
