@@ -178,6 +178,11 @@ object FeatSel {
                      cfg: Config = Config()): Seq[String] = {
     val isClf = cfg.problemType == "classification"
     require(isClf || cfg.problemType == "regression", s"unknown problemType ${cfg.problemType}")
+    // d >> n regime: the whole selection moves to the driver over ONE
+    // collected block (see selectFeaturesDense) — same bytes model the
+    // reference holds in RAM; zero per-run cluster round-trips
+    if (featureCols.size > gramMaxCols)
+      return selectFeaturesDense(df, featureCols, targetCol, cfg)
     val spark = df.sparkSession
     val keep = cfg.keep.filter(featureCols.contains)
     // scale features (and, for regression, the target) — nan-aware, ddof=0
@@ -258,6 +263,140 @@ object FeatSel {
       goodCols = kept.map(goodCols)
     }
     scaled.unpersist()
+    keep ++ goodCols.filterNot(keep.contains)
+  }
+
+  /** Selection entirely on the driver for wide synthesized frames (d >> n).
+    *
+    * The selection input is the admission-bounded subsample (reference bytes
+    * model rows·cols·4 <= max_gb, autofeat.py:322-333) — collecting it once
+    * costs exactly what the reference itself holds in RAM, while the
+    * distributed path would pay per-run shuffled-copy shuffles, wide-frame
+    * analysis, and a collect anyway (DenseLasso). One cluster job total (the
+    * collect); everything else — scaling, subsampling, noise columns, all
+    * CD fits, correlation filter — is driver array math. The 10^12-row
+    * table is never touched by selection in either regime.
+    */
+  private def selectFeaturesDense(df: DataFrame, featureCols: Seq[String], targetCol: String,
+                                  cfg: Config): Seq[String] = {
+    val isClf = cfg.problemType == "classification"
+    val keep = cfg.keep.filter(featureCols.contains)
+    val d = featureCols.size
+    val raw = df.select((featureCols :+ targetCol).map(c => q(c).cast("double")): _*).collect()
+    // skip rows with any null/NaN among used columns (same policy as the
+    // Gram accumulation path)
+    val clean = raw.filter { r =>
+      var ok = true
+      var i = 0
+      while (i <= d && ok) { ok = !r.isNullAt(i) && !r.getDouble(i).isNaN; i += 1 }
+      ok
+    }
+    val n = clean.length
+    require(n > 0, "[featsel] no clean rows")
+    val x = Array.ofDim[Double](d, n)
+    val yRaw = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = clean(i)
+      var j = 0
+      while (j < d) { x(j)(i) = r.getDouble(j); j += 1 }
+      yRaw(i) = r.getDouble(d)
+      i += 1
+    }
+    // standard scale (ddof=0) — nb_standard_scale semantics
+    def scaleInPlace(c: Array[Double]): Unit = {
+      var s = 0.0; var ss = 0.0
+      var t = 0
+      while (t < c.length) { s += c(t); ss += c(t) * c(t); t += 1 }
+      val m = s / c.length
+      val sd = math.sqrt(math.max(0.0, ss / c.length - m * m))
+      val div = if (sd > 0) sd else 1.0
+      t = 0
+      while (t < c.length) { c(t) = (c(t) - m) / div; t += 1 }
+    }
+    x.foreach(scaleInPlace)
+    val (y, w) =
+      if (isClf) {
+        val nPos = yRaw.count(_ > 0.5).toDouble
+        val (w0, w1) = (n / (2.0 * math.max(n - nPos, 1.0)), n / (2.0 * math.max(nPos, 1.0)))
+        (yRaw.map(v => v * 4.0 - 2.0), yRaw.map(v => if (v > 0.5) w1 else w0))
+      } else {
+        val yc = yRaw.clone(); scaleInPlace(yc); (yc, Array.fill(n)(1.0))
+      }
+
+    def denseRg(cols: Array[Array[Double]], dFeat: Int, hasShuf: Boolean, g: Int,
+                ys: Array[Double], ws: Array[Double]): RunGrams = {
+      val foldOf = Array.tabulate(ys.length)(_ % cfg.folds)
+      new RunGrams(new DenseLasso(cols, ys, ws, foldOf, cfg.folds), dFeat, hasShuf, g)
+    }
+
+    val selectedLists = (0 until math.max(0, cfg.featselRuns)).map { run =>
+      val rnd = new scala.util.Random(cfg.seed + run)
+      val idx = rnd.shuffle((0 until n).toVector).take(math.max(10, (0.85 * n).toInt)).toArray
+      val nSub = idx.length
+      val useShuffled = nSub > 50 && d > 1
+      val nGauss = math.max(3, d / 2)
+      val shufRnd = new scala.util.Random(cfg.seed * 31 + run)
+      val gaussRnd = new scala.util.Random(cfg.seed * 131 + run * 17)
+      val cols = Array.newBuilder[Array[Double]]
+      featureCols.indices.foreach(j => cols += idx.map(x(j)))
+      if (useShuffled) featureCols.indices.foreach { j =>
+        cols += shufRnd.shuffle(idx.map(x(j)).toVector).toArray
+      }
+      (0 until nGauss).foreach(_ => cols += Array.fill(nSub)(gaussRnd.nextGaussian()))
+      val rg = denseRg(cols.result(), d, useShuffled, nGauss, idx.map(y), idx.map(w))
+      selectRun(rg, nSub, new scala.util.Random(cfg.seed + 7919 * (run + 1))).map(featureCols)
+    }
+
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
+      var t = 0
+      while (t < a.length) {
+        sa += a(t); sb += b(t); saa += a(t) * a(t); sbb += b(t) * b(t); sab += a(t) * b(t)
+        t += 1
+      }
+      val nn = a.length.toDouble
+      val cov = sab / nn - (sa / nn) * (sb / nn)
+      val den = math.sqrt(math.max(0.0, saa / nn - (sa / nn) * (sa / nn))) *
+        math.sqrt(math.max(0.0, sbb / nn - (sb / nn) * (sb / nn)))
+      if (den == 0.0) Double.NaN else cov / den
+    }
+
+    var goodCols: Seq[String] = featureCols
+    val flat = selectedLists.flatten
+    if (cfg.featselRuns >= 1 && flat.nonEmpty) {
+      val counts = flat.groupBy(identity).map { case (c, xs) => c -> xs.size }
+      var selected = counts.keys.toSeq.sortBy(c => -(counts(c) - 1e-6 * c.length))
+      selected = keep ++ selected.filterNot(keep.contains)
+      var good = if (keep.isEmpty) Seq(selected.head) else keep
+      val startK = good.size
+      if (selected.size > startK) {
+        val pos = featureCols.zipWithIndex.toMap
+        for (i <- startK until selected.size) {
+          val c = selected(i)
+          val maxCorr = (0 until i)
+            .map(j => math.abs(pearson(x(pos(c)), x(pos(selected(j)))))).max
+          if (maxCorr < 0.9) good = good :+ c
+        }
+      }
+      goodCols = good
+    }
+    // final noise filtering on the full rows
+    if (goodCols.nonEmpty) {
+      val useShuffled = n > 50 && goodCols.size > 1
+      val nGauss = math.max(3, goodCols.size / 2)
+      val pos = featureCols.zipWithIndex.toMap
+      val shufRnd = new scala.util.Random(cfg.seed * 977 + 5)
+      val gaussRnd = new scala.util.Random(cfg.seed * 677)
+      val cols = Array.newBuilder[Array[Double]]
+      goodCols.foreach(c => cols += x(pos(c)))
+      if (useShuffled) goodCols.foreach { c =>
+        cols += shufRnd.shuffle(x(pos(c)).toVector).toArray
+      }
+      (0 until nGauss).foreach(_ => cols += Array.fill(n)(gaussRnd.nextGaussian()))
+      val rg = denseRg(cols.result(), goodCols.size, useShuffled, nGauss, y, w)
+      goodCols = noiseFilter(rg, goodCols.indices).map(goodCols)
+    }
     keep ++ goodCols.filterNot(keep.contains)
   }
 }

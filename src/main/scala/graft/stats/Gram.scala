@@ -186,24 +186,48 @@ object Scaling {
 
   def stats(df: DataFrame, cols: Seq[String]): Stats = {
     val k = cols.size
-    val m = new Array[Double](k); val sp = new Array[Double](k)
-    val ss = new Array[Double](k); val n = new Array[Long](k)
-    // chunked: thousands of agg expressions in one job choke codegen
-    cols.zipWithIndex.grouped(128).foreach { group =>
-      val exprs = group.flatMap { case (c, _) =>
-        val cc = col(s"`${c.replace("`", "``")}`")
-        val v = when(cc.isNull || isnan(cc.cast("double")), lit(null)).otherwise(cc.cast("double"))
-        Seq(avg(v), stddev_pop(v), stddev_samp(v), count(v))
+    // ONE tree-reduced pass for any column count (a chunked-SQL-aggregate
+    // formulation costs seconds of analysis/codegen per ~100 columns and a
+    // full scan per chunk). Naive-moment formulas match numpy nanmean /
+    // nanstd — the reference's own semantics (nb_utils.py:25-37).
+    val proj = df.select(cols.map(c => col(s"`${c.replace("`", "``")}`").cast("double")): _*)
+    val rdd = proj.rdd
+    if (rdd.partitions.isEmpty)
+      return Stats(Array.fill(k)(Double.NaN), Array.fill(k)(Double.NaN),
+        Array.fill(k)(Double.NaN), new Array[Long](k))
+    val (sums, sumsqs, ns) = rdd.mapPartitions { rows =>
+      val s = new Array[Double](k)
+      val ss = new Array[Double](k)
+      val n = new Array[Long](k)
+      rows.foreach { r =>
+        var i = 0
+        while (i < k) {
+          if (!r.isNullAt(i)) {
+            val v = r.getDouble(i)
+            if (!v.isNaN) { s(i) += v; ss(i) += v * v; n(i) += 1 }
+          }
+          i += 1
+        }
       }
-      val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-      group.zipWithIndex.foreach { case ((_, i), gi) =>
-        m(i) = Option(r.get(4 * gi)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-        sp(i) = Option(r.get(4 * gi + 1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-        ss(i) = Option(r.get(4 * gi + 2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-        n(i) = r.getLong(4 * gi + 3)
-      }
+      Iterator.single((s, ss, n))
+    }.treeReduce { case ((s1, ss1, n1), (s2, ss2, n2)) =>
+      var i = 0
+      while (i < k) { s1(i) += s2(i); ss1(i) += ss2(i); n1(i) += n2(i); i += 1 }
+      (s1, ss1, n1)
     }
-    Stats(m, sp, ss, n)
+    val m = new Array[Double](k); val sp = new Array[Double](k); val ssamp = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      if (ns(i) == 0) { m(i) = Double.NaN; sp(i) = Double.NaN; ssamp(i) = Double.NaN }
+      else {
+        m(i) = sums(i) / ns(i)
+        val varPop = math.max(0.0, sumsqs(i) / ns(i) - m(i) * m(i))
+        sp(i) = math.sqrt(varPop)
+        ssamp(i) = if (ns(i) > 1) math.sqrt(varPop * ns(i) / (ns(i) - 1)) else Double.NaN
+      }
+      i += 1
+    }
+    Stats(m, sp, ssamp, ns)
   }
 
   /** Project columns to nan-aware standard scores: (x - nanmean) / nanstd. */
