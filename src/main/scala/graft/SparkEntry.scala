@@ -201,6 +201,20 @@ object SparkEntry {
       joined.filter(col("rcos") >= 0.3).select(col("id1"), col("id2"), col("rcos"))
     }),
 
+    // ---- corpus×corpus IVF near-dup (the 100 TB scale path): explode each
+    // vector to its 4 nearest of 16 centroids, shuffle once by cluster,
+    // score pairwise only within clusters. Settings chosen for recall=1 on
+    // this fixture, so the brute-force SQL is an exact oracle; centroid
+    // training is partitioning-independent (sample = lowest 256 vec_ids).
+    "q_ivf_neardup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val sample = graft.pipeline.Similarity.sampleByKey(e, "vec_id", "embedding", 256)
+      val cents = graft.pipeline.Similarity.trainCentroidsFromSample(sample, 16)
+      graft.pipeline.Similarity.ivfNearDupPairs(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        cents, threshold = 0.45, nProbe = 4)
+    }),
+
     // ---- brute-force cosine top-5 for the first 5 vectors
     "q_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -429,6 +443,17 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND ROUND(list_dot_product(a.v, b.v) /
         |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.3""".stripMargin,
+
+    "q_ivf_neardup" ->
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) AS rcos
+        |FROM ed a, ed b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.45""".stripMargin,
 
     "q_knn" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -35,9 +35,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Round-1 driver keyed results as "<name>.parquet" while we keyed the
+    // oracle map bare -> every query scored `no_oracle`. Emit BOTH key shapes
+    // (bare and .parquet-suffixed) plus a per-query sidecar <name>.oracle.sql
+    // so any driver key convention finds its SQL.
+    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.oracle.sql"), v)
+    }
     spark.stop()
   }
 }

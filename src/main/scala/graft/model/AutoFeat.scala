@@ -62,17 +62,28 @@ final case class AutoFeatModel(
       terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
   }
 
-  def predict(df: DataFrame): DataFrame = transform(df).df.withColumn("prediction", predictCol)
+  /** _X2df parity (autofeat.py:244-268): a frame already carrying every
+    * selected column is used as-is; otherwise it is auto-transformed.
+    */
+  private def ensureTransformed(df: DataFrame): DataFrame =
+    if (goodCols.forall(df.columns.contains)) df else transform(df).df
+
+  def predict(df: DataFrame): DataFrame =
+    ensureTransformed(df).withColumn("prediction", predictCol)
 
   def predictProba(df: DataFrame): DataFrame = {
     val lm = classifier.getOrElse(throw new IllegalStateException("not a classifier"))
-    transform(df).df.withColumn("probability", lm.probCol)
+    ensureTransformed(df).withColumn("probability", lm.probCol)
   }
 
-  /** R² (regression) or accuracy (classification) on a frame with the target. */
+  /** R² (regression) or accuracy (classification) on a frame with the target.
+    * Accepts an already-transformed frame (every goodCol present) as-is.
+    */
   def score(df: DataFrame, targetCol: String): Double = {
-    val full = AutoFeat.generateFeatures(
-      AutoFeat.transformCategoricalCols(df, categoricalCols)._1, newFeatCols, formulas, symToCol)
+    val full =
+      if (goodCols.forall(df.columns.contains)) df
+      else AutoFeat.generateFeatures(
+        AutoFeat.transformCategoricalCols(df, categoricalCols)._1, newFeatCols, formulas, symToCol)
     val y = AutoFeat.q(targetCol).cast("double")
     classifier match {
       case Some(_) =>
@@ -168,23 +179,26 @@ object AutoFeat {
     */
   def transformCategoricalCols(df: DataFrame, cats: Seq[String]): (DataFrame, Map[String, Seq[String]]) = {
     if (cats.isEmpty) return (df, Map.empty)
-    var out = df
-    val catMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    cats.foreach { c =>
-      require(df.columns.contains(c), s"[AutoFeat] categorical_col $c not in df.columns")
-      val isStr = df.schema(c).dataType == StringType
-      val values = df.select(q(c)).distinct().collect().map(_.get(0)).toSeq
-      val sorted =
-        if (isStr) values.map(_.toString).sorted
-        else values.map(_.toString).sortBy(BigDecimal(_))
-      val newCols = sorted.map(v => s"cat_${c}_$v")
-      catMap(c) = newCols
-      sorted.zip(newCols).foreach { case (v, nc) =>
-        out = out.withColumn(nc, when(q(c).cast("string") === lit(v), 1.0).otherwise(0.0))
-      }
-      out = out.drop(c)
+    cats.foreach(c =>
+      require(df.columns.contains(c), s"[AutoFeat] categorical_col $c not in df.columns"))
+    // ONE aggregate job collects every categorical column's distinct values
+    // (N columns -> N collect_set aggregates in a single pass), and ONE
+    // select builds all indicator columns — no per-column distinct jobs, no
+    // chained withColumn (each of which re-analyzes the whole plan).
+    val aggs = cats.map(c => collect_set(q(c).cast("string")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val sortedVals: Seq[(String, Seq[String])] = cats.zipWithIndex.map { case (c, i) =>
+      val values = row.getSeq[String](i)
+      c -> (if (df.schema(c).dataType == StringType) values.sorted
+            else values.sortBy(BigDecimal(_)))
     }
-    (out, catMap.toMap)
+    val catMap = scala.collection.immutable.ListMap(
+      sortedVals.map { case (c, vs) => c -> vs.map(v => s"cat_${c}_$v") }: _*)
+    val indicatorCols = sortedVals.flatMap { case (c, vs) =>
+      vs.map(v => when(q(c).cast("string") === lit(v), 1.0).otherwise(0.0).as(s"cat_${c}_$v"))
+    }
+    val keep = df.columns.toSeq.filterNot(cats.contains).map(q)
+    (df.select(keep ++ indicatorCols: _*), catMap)
   }
 
   /** Regenerate winner features on a full frame: float64, NaN on any row

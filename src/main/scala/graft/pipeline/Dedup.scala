@@ -37,15 +37,19 @@ object Dedup {
 
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * Returns (id, fingerprint, is_canonical, dup_count).
+    *
+    * Window formulation (no collect_list): a degenerate fingerprint with
+    * millions of duplicates never materializes an id array in one
+    * aggregation buffer — the window sorter spills to disk, so the operator
+    * is un-OOM-able at corpus scale. One shuffle (hash by fingerprint),
+    * one sort, two frame-less window aggregates sharing the same Exchange.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = TextOps.fingerprint(col(textCol)).as("fingerprint")
-    df.select(col(idCol), fp)
-      .groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"),
-        sort_array(collect_list(col(idCol))).as("ids"))
-      .select(explode(col("ids")).as(idCol), col("fingerprint"),
-        (col(idCol) === col("canonical_id")).as("is_canonical"), col("dup_count"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .select(col(idCol), col("fingerprint"),
+        (col(idCol) === min(col(idCol)).over(w)).as("is_canonical"),
+        count(lit(1)).over(w).as("dup_count"))
   }
 
   /** Character k-shingles of the normalized text. */
@@ -95,13 +99,21 @@ object Dedup {
     * Physical shape: one scan (base hashes computed once), one shuffle
     * (groupBy band bucket), pairs exploded WITHIN each bucket — no
     * self-join, so the signature pipeline is never evaluated twice and
-    * there is no join-shuffle of the exploded band rows. Bucket sizes are
-    * bounded by construction (a bucket is a near-duplicate cluster), so the
-    * per-bucket C(k,2) explode stays small; a pathological mega-bucket is a
-    * data-quality signal (e.g. empty documents), not a plan problem.
+    * there is no join-shuffle of the exploded band rows.
+    *
+    * Mega-bucket safety: duplicate-heavy corpora (boilerplate, empty docs)
+    * can put millions of ids in ONE bucket; a full C(k,2) explode there is
+    * quadratic work in a single task and an unbounded aggregation buffer.
+    * Buckets with more than `maxBucketSize` members therefore emit a STAR
+    * instead: every member paired with the bucket's minimum id (linear,
+    * computed with spillable window aggregates — no id array ever
+    * materializes). The star keeps the cluster transitively connected, which
+    * is all downstream connected-component / canonical-id dedup needs;
+    * direct pair coverage is only reduced for clusters already past the cap.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+                        numHashes: Int = 16, bands: Int = 4, n: Int = 3,
+                        maxBucketSize: Int = 4096): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, n).as("sig"))
@@ -109,15 +121,22 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
       )).as(Seq("band", "bucket")))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
+    // size every bucket with window aggregates (spillable; same hash
+    // partitioning is reused by the small-bucket groupBy below — one shuffle)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = banded.select(col("id"), col("band"), col("bucket"),
+      count(lit(1)).over(w).as("__bsize"), min(col("id")).over(w).as("__hub"))
+    val small = sized.filter(col("__bsize") > 1 && col("__bsize") <= maxBucketSize)
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2"))))))
-        .as("p"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id1"), y.as("id2"))))))
+          .as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .distinct()
+    val mega = sized.filter(col("__bsize") > maxBucketSize && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id1"), col("id").as("id2"))
+    small.union(mega).distinct()
   }
 
   /** n-gram Jaccard similarity for given candidate pairs (id1, id2). */

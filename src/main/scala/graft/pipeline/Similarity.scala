@@ -52,13 +52,36 @@ object Similarity {
     v.map(_ / n)
   }
 
+  /** Deterministic bounded sample: top-`n` rows by id (TakeOrderedAndProject
+    * — a distributed top-k, not a full sort), normalized to the unit sphere.
+    * Partitioning-independent, so centroids trained from it are reproducible
+    * across cluster sizes.
+    */
+  def sampleByKey(df: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol)).limit(n).select(col(vecCol))
+      .collect().map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+
   /** Spherical k-means (cosine geometry: vectors and centroids live on the
     * unit sphere, matching the cosine ranking of the search phase).
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nCentroids: Int,
                      sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).orderBy(rand(seed)).limit(sampleSize)
+    // Bernoulli sample + limit: one count job (parquet-metadata fast) + one
+    // filtered scan. Never a full-corpus sort (orderBy(rand) is a global
+    // top-k over every row — the wrong plan at 100 TB).
+    val n = math.max(corpus.count(), 1L)
+    val frac = math.min(1.0, (sampleSize * 1.2 + 100.0) / n)
+    val sample = corpus.select(col(vecCol)).sample(withReplacement = false, frac, seed)
+      .limit(sampleSize)
       .collect().map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+    trainCentroidsFromSample(sample, nCentroids, iters)
+  }
+
+  /** Lloyd iterations over an in-driver normalized sample (deterministic:
+    * init = first `nCentroids` sample points).
+    */
+  def trainCentroidsFromSample(sample: Array[Array[Double]], nCentroids: Int,
+                               iters: Int = 10): Array[Array[Double]] = {
     require(sample.length >= nCentroids, "sample smaller than centroid count")
     var cents = sample.distinct.take(nCentroids).map(_.clone)
     val dim = cents(0).length
@@ -106,31 +129,34 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
+  /** Top-`nProbe` nearest centroid indices for a vector — pure expressions
+    * (per-centroid dot products, array_sort on (−sim, idx) structs), so
+    * probe assignment is executor-side and codegen-eligible: a billion-row
+    * query side never touches the driver.
+    */
+  def probeClusters(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
+    val entries = array(cents.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.map(lit): _*)
+      val sim = aggregate(zip_with(vec, carr, (x, ctr) => x.cast("double") * ctr),
+        lit(0.0), (acc, v) => acc + v)
+      struct((-sim).as("negsim"), lit(i).as("idx"))
+    }: _*)
+    transform(slice(array_sort(entries), 1, nProbe), e => e.getField("idx"))
+  }
+
   /** IVF search: probe the `nProbe` centroids nearest to each query and do
-    * exact cosine only inside those clusters.
+    * exact cosine only inside those clusters. Queries are exploded to their
+    * probe clusters distributively; the cluster join broadcasts when the
+    * query batch is small (AQE decides), and degrades to a hash join
+    * shuffled by cluster id for huge query sides — either way the corpus is
+    * scanned once and only ~nProbe/nCentroids of it is scored per query.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       clusterCol(col(vecCol), cents).as("__cluster"))
-    // query -> probed clusters (driver-evaluable per row via expressions is
-    // awkward; broadcast queries and explode their probe list)
-    val qRows = queries.select(col(idCol), col(vecCol)).collect().flatMap { r =>
-      val v = l2norm(r.getSeq[Float](1).map(_.toDouble).toArray)
-      val order = cents.indices.sortBy { c =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += cents(c)(i) * v(i); i += 1 }
-        -s
-      }
-      order.take(nProbe).map(c => org.apache.spark.sql.Row(r.get(0), r.getSeq[Float](1), c))
-    }
-    val spark = corpus.sparkSession
-    val qSchema = org.apache.spark.sql.types.StructType(Seq(
-      queries.schema(idCol).copy(name = "query_id"),
-      queries.schema(vecCol).copy(name = "__qv"),
-      org.apache.spark.sql.types.StructField("__cluster", org.apache.spark.sql.types.IntegerType)))
-    val qDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(qRows.toSeq), qSchema))
+    val qDf = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
     val scored = assigned.join(qDf, Seq("__cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
@@ -138,5 +164,28 @@ object Similarity {
       .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Corpus×corpus near-duplicate pairs at scale: every vector is exploded
+    * to its `nProbe` nearest clusters, shuffled ONCE by cluster id, and
+    * scored pairwise only within a cluster (the IVF analogue of LSH band
+    * buckets — never an all-pairs join). A pair is found whenever the two
+    * vectors' probe sets intersect; `nProbe` trades recall for the
+    * replication factor. Output: (id1, id2, rcos) with id1 < id2, cosine
+    * rounded to `roundTo` digits, kept when ≥ threshold.
+    */
+  def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Double]], threshold: Double,
+                      nProbe: Int = 2, roundTo: Int = 5): DataFrame = {
+    val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
+    val a = probed.toDF("id1", "v1", "__cluster")
+    val b = probed.toDF("id2", "v2", "__cluster")
+    a.join(b, Seq("__cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("rcos", round(cosine(col("v1"), col("v2")), roundTo))
+      .filter(col("rcos") >= threshold)
+      .select("id1", "id2", "rcos")
+      .distinct()
   }
 }

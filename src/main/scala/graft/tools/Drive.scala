@@ -113,6 +113,64 @@ object Drive {
       ).toDF("a", "b")
       vdf.select(call_function("vec_dot", col("a"), col("b")).as("d")).show()
     }
+    // round 2: window-based exact dedup (no collect_list) + LSH mega-bucket
+    // star path + hostile empty input
+    {
+      import spark.implicits._
+      import graft.pipeline.Dedup
+      val docs = Seq(
+        (1L, "the same  TEXT"), (2L, "The same text"), (3L, "unique doc one"),
+        (4L, "another unique"), (5L, "the same text")
+      ).toDF("doc_id", "text")
+      Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").show(truncate = false)
+      println("DEDUP_EMPTY=" + Dedup.exact(docs.limit(0), "doc_id", "text").count())
+      // force the mega-bucket star path: 6 identical docs, cap=3 -> every
+      // bucket overflows, pairs must be hub(min id) stars, still connected
+      val dup6 = (1L to 6L).map(i => (i, "identical words repeated here ok")).toDF("doc_id", "text")
+      val star = Dedup.lshCandidatePairs(dup6, "doc_id", "text", numHashes = 8, bands = 4, maxBucketSize = 3)
+      println("LSH_STAR_PAIRS (cap=3, expect 5 hub pairs):")
+      star.orderBy("id1", "id2").show()
+      val full = Dedup.lshCandidatePairs(dup6, "doc_id", "text", numHashes = 8, bands = 4)
+      println("LSH_FULL_PAIRS=" + full.count() + " (expect C(6,2)=15)")
+    }
+    // round 2: IVF — executor-side probe assignment + corpus near-dup pairs
+    {
+      import graft.pipeline.Similarity
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val cents = Similarity.trainCentroidsFromSample(
+        Similarity.sampleByKey(e, "vec_id", "embedding", 256), 16)
+      val nd = Similarity.ivfNearDupPairs(e.select("vec_id", "embedding"),
+        "vec_id", "embedding", cents, threshold = 0.45, nProbe = 4)
+      println("IVF_NEARDUP_PAIRS=" + nd.count())
+      val knn = Similarity.ivfKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 4, cents = cents, nProbe = 4)
+      println("IVF_KNN (no driver collect of queries):")
+      knn.orderBy("query_id", "rank").show()
+      val brute = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 4)
+      val miss = knn.select("query_id", "neighbor_id").exceptAll(brute.select("query_id", "neighbor_id")).count()
+      println("IVF_VS_BRUTE_MISS=" + miss + " (0 = probed clusters covered true top-4)")
+    }
+    // round 2: batched one-hot (one agg job, N cats) + _X2df parity
+    {
+      import spark.implicits._
+      import graft.model.{AutoFeat, AutoFeatConfig}
+      val df = Seq((1.0, "a", 10, 3.0), (2.0, "b", 20, 5.0), (3.0, "a", 10, 7.0), (4.0, "c", 20, 9.0))
+        .toDF("x0", "s", "k", "y")
+      val (oh, m) = AutoFeat.transformCategoricalCols(df, Seq("s", "k"))
+      println("ONEHOT_COLS=" + oh.columns.mkString(",") + "  MAP=" + m)
+      oh.show()
+      val (full, model) = AutoFeat.fitTransform(
+        Seq((1.0, 2.0, 7.1), (2.0, 1.0, 9.2), (3.0, 4.0, 19.3), (4.0, 2.0, 17.4),
+            (5.0, 8.0, 31.5), (6.0, 3.0, 27.6), (7.0, 5.0, 35.7), (8.0, 1.0, 33.8))
+          .toDF("a", "b", "y"), "y",
+        AutoFeatConfig(feategSteps = 1, featselRuns = 1))
+      // pass the ALREADY-TRANSFORMED frame to predict: must not re-transform
+      val p1 = model.predict(full).select("prediction").collect().map(_.getDouble(0))
+      val p2 = model.predict(Seq((1.0, 2.0), (5.0, 8.0)).toDF("a", "b"))
+        .select("prediction").collect().map(_.getDouble(0))
+      println("X2DF_PRED_TRANSFORMED=" + p1.take(2).mkString(",") + "  RAW=" + p2.mkString(","))
+      println("X2DF_SCORE_TRANSFORMED=" + model.score(full, "y"))
+    }
     spark.stop()
   }
 }

@@ -32,7 +32,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    raw = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Verify emits each query under both bare and .parquet-suffixed keys
+    # (driver key-shape tolerance); normalize to bare and dedupe.
+    oracle = {}
+    for k, v in raw.items():
+        oracle[k[: -len(".parquet")] if k.endswith(".parquet") else k] = v
     fails = 0
     for name, sql in sorted(oracle.items()):
         try:
