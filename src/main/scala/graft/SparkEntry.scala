@@ -215,14 +215,17 @@ object SparkEntry {
         cents, threshold = 0.45, nProbe = 4)
     }),
 
-    // ---- brute-force cosine top-5 for the first 5 vectors
+    // ---- brute-force cosine top-5 for the first 5 vectors. Ranks directly
+    // on the ROUNDED cosine (so ulp-level engine differences can't flip
+    // neighbor order vs the oracle): ONE window pass, eligible for
+    // WindowGroupLimit top-k pushdown.
     "q_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val scored = graft.pipeline.Similarity.bruteForceKnn(
-        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 1000000)
-        .withColumn("rcos", round(col("cosine"), 5))
-      // re-rank on the ROUNDED cosine so ulp-level engine differences can't
-      // flip neighbor order between Spark and the oracle
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .withColumn("rcos", round(graft.pipeline.Similarity.cosine(col("__qv"), col("__cv")), 5))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("rcos"), asc("neighbor_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)

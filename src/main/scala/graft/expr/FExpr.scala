@@ -224,6 +224,30 @@ object F {
     }
   }
 
+  /** Product construction WITHOUT base-exponent gathering. Used by the
+    * rational-power-of-Mul distribution only: numeric factors still fold
+    * into the coefficient and factors sort canonically, but factors with a
+    * common base are NOT merged (mirrors sympy, where the distributed Pows
+    * are built with evaluate=False). A later mul()/pow() over the result
+    * re-gathers, exactly like sympy's evaluated Mul would.
+    */
+  private def mulNoGather(raw: Vector[FExpr]): FExpr = {
+    val flat = raw.flatMap { case Mul(as) => as; case x => Vector(x) }
+    var coeff = Rat.one
+    val fs = Vector.newBuilder[FExpr]
+    flat.foreach { case Num(r) => coeff = coeff * r; case f => fs += f }
+    val factors = fs.result()
+    if (coeff.isZero) Num(Rat.zero)
+    else if (factors.isEmpty) Num(coeff)
+    else if (coeff.isOne && factors.size == 1) factors.head
+    else if (!coeff.isOne && factors.size == 1 && factors.head.isInstanceOf[Add])
+      addAll(factors.head.asInstanceOf[Add].args.map(t => mul(Num(coeff), t)))
+    else {
+      val sorted = factors.sortWith((a, b) => SortKey.compare(SortKey(a), SortKey(b)) < 0)
+      Mul(if (coeff.isOne) sorted else Num(coeff) +: sorted)
+    }
+  }
+
   // ---------------------------------------------------------------- Pow
 
   def pow(b: FExpr, e: FExpr): FExpr = (b, e) match {
@@ -273,7 +297,11 @@ object F {
               case 1 => pow(in.head, Num(q))
               case _ => Pow(Mul(in), Num(q)) // raw: nothing left to extract
             }
-            mulAll(out.map(f => pow(f, Num(q))) :+ inner)
+            // sympy's expand_power_base builds the distributed product from
+            // evaluate=False Pows, so same-base factors created BY the
+            // distribution are not re-gathered: sqrt(x**2*Abs(x)) stays
+            // sqrt(Abs(x))*Abs(x), not Abs(x)**(3/2)
+            mulNoGather(out.map(f => pow(f, Num(q))) :+ inner)
           }
         case _ => Pow(b, e)
       }

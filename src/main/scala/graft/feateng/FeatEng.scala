@@ -33,7 +33,13 @@ final case class FeatEngConfig(
     /** Max candidate columns materialized per wave frame: bounds plan width,
       * codegen size, and cache footprint for wide steps.
       */
-    waveBatch: Int = 1500
+    waveBatch: Int = 1500,
+    /** Per-start-column dimensions (reference `units=`, feateng.py:115-118):
+      * when non-empty, dimensionally-illegal transforms/combinations are
+      * vetoed before entering the pool (feateng.py:245-250, 314-319).
+      * Missing columns are dimensionless.
+      */
+    units: Map[String, graft.units.Dim] = Map.empty
 )
 
 final case class EngineeredFrame(
@@ -141,6 +147,10 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
     require(startCols.nonEmpty, "no start features")
     val pool = mutable.LinkedHashMap[String, FExpr]()
     startCols.zipWithIndex.foreach { case (c, i) => pool(c) = Var(F.colToSymbol(c, i)) }
+    // dimensional bookkeeping (only when units are given)
+    val useUnits = cfg.units.nonEmpty
+    val unitOf = mutable.HashMap[String, graft.units.Dim]()
+    if (useUnits) startCols.foreach(c => unitOf(c) = cfg.units.getOrElse(c, graft.units.Dim.none))
     // symbol name -> column name for parent lookups
     val symToCol = mutable.HashMap[String, String]()
     startCols.zipWithIndex.foreach { case (c, i) => symToCol(F.colToSymbol(c, i)) = c }
@@ -335,8 +345,16 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
               val expr = F.unaryTransforms(ft)(pool(feat))
               val name = nameOf(expr)
               if (!pool.contains(name)) {
-                pool(name) = expr // pool grows even if acceptance later fails
-                cands += ((name, transformCol(ft, q(feat)), Seq(feat)))
+                // dimensional veto (feateng.py:245-250): illegal op -> skip
+                val u = if (useUnits) graft.units.Units.transformUnit(ft, unitOf(feat))
+                        else Some(graft.units.Dim.none)
+                u match {
+                  case None => ()
+                  case Some(d) =>
+                    if (useUnits) unitOf(name) = d
+                    pool(name) = expr // pool grows even if acceptance later fails
+                    cands += ((name, transformCol(ft, q(feat)), Seq(feat)))
+                }
               }
             }
           }
@@ -358,8 +376,16 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
           val expr = F.binaryCombiners(fc)(pool(f1), pool(f2))
           val name = nameOf(expr)
           if (!pool.contains(name)) {
-            pool(name) = expr
-            cands += ((name, combineCol(fc, q(f1), q(f2)), Seq(f1, f2)))
+            // dimensional veto (feateng.py:314-319): x+y/x-y need equal dims
+            val u = if (useUnits) graft.units.Units.combineUnit(fc, unitOf(f1), unitOf(f2))
+                    else Some(graft.units.Dim.none)
+            u match {
+              case None => ()
+              case Some(d) =>
+                if (useUnits) unitOf(name) = d
+                pool(name) = expr
+                cands += ((name, combineCol(fc, q(f1), q(f2)), Seq(f1, f2)))
+            }
           }
         }
       }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * expression stays inside whole-stage codegen with a primitive loop over
   * the two `ArrayData` buffers: no allocation, no boxing, no virtual calls.
   *
+  * Semantics (deliberately NOT identical to the HOF fallback): mismatched
+  * lengths truncate to the shorter array and null elements contribute 0.0,
+  * where `aggregate(zip_with(...))` returns NULL in both cases. Embedding
+  * columns are fixed-width non-null vectors, for which the two agree; the
+  * laxer rule keeps the hot loop branch-light and total.
+  *
   * Registered as SQL function `vec_dot` via [[GraftExtensions]]
   * (spark.sql.extensions=graft.functions.GraftExtensions), usable from
   * `functions.call_function("vec_dot", a, b)` or plain SQL.
@@ -52,9 +58,11 @@ case class VecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (ld) a.getDouble(i) else a.getFloat(i).toDouble
-      val y = if (rd) b.getDouble(i) else b.getFloat(i).toDouble
-      s += x * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (ld) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (rd) b.getDouble(i) else b.getFloat(i).toDouble
+        s += x * y
+      }
       i += 1
     }
     s
@@ -68,7 +76,9 @@ case class VecDot(left: Expression, right: Expression)
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_s = 0.0;
          |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_s += (double) $a.$lGet(${ev.value}_i) * (double) $b.$rGet(${ev.value}_i);
+         |  if (!$a.isNullAt(${ev.value}_i) && !$b.isNullAt(${ev.value}_i)) {
+         |    ${ev.value}_s += (double) $a.$lGet(${ev.value}_i) * (double) $b.$rGet(${ev.value}_i);
+         |  }
          |}
          |${ev.value} = ${ev.value}_s;
        """.stripMargin

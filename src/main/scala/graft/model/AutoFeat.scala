@@ -26,7 +26,21 @@ final case class AutoFeatConfig(
     featselRuns: Int = 5,
     transformations: Seq[String] = FeatEng.defaultTransformations,
     maxGb: Option[Double] = None,
-    seed: Long = 0L
+    seed: Long = 0L,
+    /** {columnName -> unit string} (reference `units=`, autofeat.py:80-86):
+      * unparseable units fall back to dimensionless; dimensioned columns
+      * dimensionally veto synthesis ops and feed the pi theorem.
+      */
+    units: Map[String, String] = Map.empty,
+    /** Add Buckingham-pi dimensionless-group columns before synthesis
+      * (reference apply_pi_theorem, autofeat.py:153-176).
+      */
+    applyPiTheorem: Boolean = true,
+    /** Concurrent selection runs (reference n_jobs, autofeat.py:65):
+      * overlaps the per-run Gram/CD jobs on driver threads; <= 0 means one
+      * thread per run. Results are identical at any setting.
+      */
+    nJobs: Int = 1
 )
 
 final case class LinearModel(cols: Seq[String], coef: Array[Double], intercept: Double, alpha: Double)
@@ -40,7 +54,12 @@ final case class AutoFeatModel(
     formulas: Map[String, FExpr],
     goodCols: Seq[String],
     model: LinearModel,
-    classifier: Option[graft.select.Logistic.Model] = None
+    classifier: Option[graft.select.Logistic.Model] = None,
+    /** Buckingham-pi columns: (name, (sourceCol -> exponent)*), regenerated
+      * at transform time like the reference's _apply_pi_theorem
+      * (autofeat.py:458-460).
+      */
+    piGroups: Seq[(String, Seq[(String, Double)])] = Nil
 ) {
 
   /** Reference transform (autofeat.py:436-467): one-hot is REFIT on the new
@@ -52,7 +71,8 @@ final case class AutoFeatModel(
     require(inCols == originalColumns,
       s"[AutoFeat] Not the same features as when calling fit: $inCols vs $originalColumns")
     val (oneHot, _) = AutoFeat.transformCategoricalCols(df.select(originalColumns.map(AutoFeat.q): _*), categoricalCols)
-    AutoFeatModel.Frame(AutoFeat.generateFeatures(oneHot, newFeatCols, formulas, symToCol))
+    AutoFeatModel.Frame(AutoFeat.generateFeatures(
+      AutoFeat.addPiColumns(oneHot, piGroups), newFeatCols, formulas, symToCol))
   }
 
   def predictCol: Column = classifier match {
@@ -83,7 +103,8 @@ final case class AutoFeatModel(
     val full =
       if (goodCols.forall(df.columns.contains)) df
       else AutoFeat.generateFeatures(
-        AutoFeat.transformCategoricalCols(df, categoricalCols)._1, newFeatCols, formulas, symToCol)
+        AutoFeat.addPiColumns(AutoFeat.transformCategoricalCols(df, categoricalCols)._1, piGroups),
+        newFeatCols, formulas, symToCol)
     val y = AutoFeat.q(targetCol).cast("double")
     classifier match {
       case Some(_) =>
@@ -106,9 +127,12 @@ final case class AutoFeatModel(
       .mkString("{", ",", "}")
     val s2c = symToCol.map { case (k, v) => s"${ExprJsonStr.q(k)}:${ExprJsonStr.q(v)}" }
       .mkString("{", ",", "}")
+    val pj = piGroups.map { case (n, ts) =>
+      s"""{"name":${ExprJsonStr.q(n)},"terms":${ts.map { case (c, e) => s"${ExprJsonStr.q(c)}:$e" }.mkString("{", ",", "}")}}"""
+    }.mkString("[", ",", "]")
     s"""{"originalColumns":${arr(originalColumns)},"categoricalCols":${arr(categoricalCols)},
        |"feategCols":${arr(feategCols)},"symToCol":$s2c,"newFeatCols":${arr(newFeatCols)},
-       |"formulas":$fj,"goodCols":${arr(goodCols)},
+       |"formulas":$fj,"goodCols":${arr(goodCols)},"piGroups":$pj,
        |"coef":[${model.coef.mkString(",")}],"intercept":${model.intercept},"alpha":${model.alpha}}""".stripMargin
   }
 }
@@ -201,6 +225,22 @@ object AutoFeat {
     (df.select(keep ++ indicatorCols: _*), catMap)
   }
 
+  /** Append Buckingham-pi group columns (autofeat.py:164-175): the product
+    * of the group's source columns raised to their exponents, NaN on rows
+    * where any source is null/NaN. Pure codegen'd projection — shuffle-free
+    * at any scale.
+    */
+  def addPiColumns(df: DataFrame, piGroups: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    if (piGroups.isEmpty) return df
+    val cols = piGroups.map { case (name, terms) =>
+      val anyNa = terms.map { case (c, _) => q(c).isNull || isnan(q(c).cast("double")) }
+        .reduce(_ || _)
+      val prod = terms.map { case (c, e) => pow(q(c).cast("double"), lit(e)) }.reduce(_ * _)
+      when(anyNa, lit(Double.NaN)).otherwise(prod).as(name)
+    }
+    df.select(df.columns.map(c => q(c)).toSeq ++ cols: _*)
+  }
+
   /** Regenerate winner features on a full frame: float64, NaN on any row
     * where a source column is null/NaN (autofeat.py:176-242).
     */
@@ -234,8 +274,27 @@ object AutoFeat {
         cfg.feategCols.flatMap(c => catMap.getOrElse(c, Seq(c)))
       else oneHot.columns.toSeq.filter(_ != targetCol)
 
+    // units + Buckingham-pi (autofeat.py:315-320): parse units for exactly
+    // the feateng columns (missing -> dimensionless), add PT group columns
+    // before subsampling; PT columns ride through synthesis untouched and
+    // compete in selection, like the reference's df-resident PT columns
+    val unitDims: Map[String, graft.units.Dim] =
+      if (cfg.units.isEmpty) Map.empty
+      else feategCols.map(c =>
+        c -> graft.units.Units.parseOrDimensionless(cfg.units.getOrElse(c, ""))).toMap
+    val piGroups: Seq[(String, Seq[(String, Double)])] =
+      if (cfg.applyPiTheorem && cfg.units.nonEmpty) {
+        val qs = feategCols.filter(c => !unitDims(c).isDimensionless).map(c => c -> unitDims(c))
+        graft.units.PiTheorem.groups(qs).zipWithIndex.map { case (g, i) =>
+          (s"PT${i + 1}_${graft.units.PiTheorem.formatGroup(g)}",
+            g.toSeq.sortBy(_._1).map { case (c, e) => c -> e.toDouble })
+        }
+      } else Nil
+    val ptNames = piGroups.map(_._1)
+    val withPi = addPiColumns(oneHot, piGroups)
+
     // admission control (autofeat.py:321-344): bytes ~ rows*cols*4
-    val nRows = oneHot.count()
+    val nRows = withPi.count()
     val nCols = nColsGenerated(feategCols.size, cfg.feategSteps, cfg.transformations.size)
     val nGb = nRows.toDouble * nCols / 250000000.0
     val dfSubs = cfg.maxGb match {
@@ -243,34 +302,38 @@ object AutoFeat {
         // uniform row subsample (autofeat.py:334-339); sample() stays fully
         // distributed where orderBy(rand).limit(n) would serialize the scan
         val keepRows = (gb * 250000000.0 / nCols).toLong
-        oneHot.sample(withReplacement = false,
+        withPi.sample(withReplacement = false,
           math.min(1.0, keepRows.toDouble / math.max(nRows, 1L)), cfg.seed)
-      case _ => oneHot
+      case _ => withPi
     }
 
-    // synthesis on the (sub)sampled frame (target passed through untouched)
-    val eng = new FeatEng(FeatEngConfig(maxSteps = cfg.feategSteps, transformations = cfg.transformations))
-      .engineerFeatures(dfSubs, feategCols, passThrough = Seq(targetCol))
+    // synthesis on the (sub)sampled frame (target + PT columns pass through)
+    val eng = new FeatEng(FeatEngConfig(maxSteps = cfg.feategSteps,
+      transformations = cfg.transformations, units = unitDims))
+      .engineerFeatures(dfSubs, feategCols, passThrough = targetCol +: ptNames)
     val symToCol = feategCols.zipWithIndex.map { case (c, i) => F.colToSymbol(c, i) -> c }.toMap
 
     // selection: classification uses the balanced L1-logistic quadratic
     // (working response + class weights, see FeatSel/LogisticLasso);
     // regression the CV Lasso — both one weighted-Gram pass per fit group
+    // candidate order mirrors the reference frame layout: originals, PT
+    // columns, then engineered features (selection vote order is index-based)
+    val candidateCols = feategCols ++ ptNames ++ eng.newCols
     val goodCols: Seq[String] =
       if (cfg.featselRuns <= 0) eng.columns
       else {
-        val picked = FeatSel.selectFeatures(eng.df, eng.columns, targetCol,
+        val picked = FeatSel.selectFeatures(eng.df, candidateCols, targetCol,
           FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed,
-            problemType = cfg.problemType))
-        if (picked.isEmpty) oneHot.columns.toSeq.filter(_ != targetCol) else picked
+            problemType = cfg.problemType, nJobs = cfg.nJobs))
+        if (picked.isEmpty) withPi.columns.toSeq.filter(_ != targetCol) else picked
       }
-    val baseCols = oneHot.columns.toSeq.filter(_ != targetCol)
+    val baseCols = withPi.columns.toSeq.filter(_ != targetCol)
     val newFeatCols = goodCols.filterNot(baseCols.contains)
     val formulas = (newFeatCols.map(n => n -> eng.pool(n)) ++
       feategCols.map(c => c -> eng.pool(c))).toMap
 
     // full regeneration at float64 over ALL rows
-    val fullDf = generateFeatures(oneHot, newFeatCols, formulas, symToCol)
+    val fullDf = generateFeatures(withPi, newFeatCols, formulas, symToCol)
 
     // final model on the full frame: CV lasso (regression) or distributed
     // Newton-IRLS logistic with balanced class weights (classification)
@@ -278,14 +341,15 @@ object AutoFeat {
       val lm = graft.select.Logistic.fit(fullDf, goodCols, targetCol)
       AutoFeatModel(
         originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
-        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm))
+        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm), piGroups)
     } else {
       val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
       val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)
       val fit = new graft.select.GramLasso(grams).cvFit(goodCols.indices.toArray)
       AutoFeatModel(
         originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
-        formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha))
+        formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha),
+        piGroups = piGroups)
     }
     (fullDf, model)
   }

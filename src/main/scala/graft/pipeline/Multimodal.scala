@@ -69,10 +69,12 @@ object Multimodal {
     * mapInPandas' Arrow batches would.
     */
   def decodeToEmbedding(df: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
-    val spark = df.sparkSession
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema.add(StructField("embedding", ArrayType(FloatType)))
-    val rdd = df.rdd.mapPartitions { rows =>
+    // Dataset.mapPartitions (not df.rdd + createDataFrame): the decode stays
+    // a single logical plan node, so caching/AQE/reuse still see one plan
+    // instead of an opaque RDD scan stitched onto a fresh root
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // (a real codec would decode the whole batch in one worker call)
         batch.map { r =>
@@ -80,26 +82,23 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ emb.toSeq)
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Thumbnail + n-frame sample in one batched pass. */
   def extract(df: DataFrame, thumbW: Int = 8, thumbH: Int = 8, nFrames: Int = 4,
               batchSize: Int = 256): DataFrame = {
-    val spark = df.sparkSession
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema
       .add(StructField("thumbnail", BinaryType))
       .add(StructField("frames", ArrayType(BinaryType)))
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val b = r.getAs[Array[Byte]](mediaIdx)
           Row.fromSeq(r.toSeq :+ StubCodec.resize(b, thumbW, thumbH) :+ StubCodec.sampleFrames(b, nFrames))
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

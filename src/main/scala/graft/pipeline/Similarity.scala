@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product: uses the native codegen'd `vec_dot` expression when the
-    * session was built with GraftExtensions (identical result — same
-    * left-to-right double accumulation); falls back to the pure-built-in
-    * higher-order-function formulation otherwise.
+    * session was built with GraftExtensions; falls back to the pure-built-in
+    * higher-order-function formulation otherwise. For equal-length arrays
+    * with no null elements (every embedding column in this library) the two
+    * agree exactly — same left-to-right double accumulation. Degenerate
+    * inputs differ: the HOF path yields NULL on length mismatch or null
+    * elements, vec_dot truncates to the shorter array and counts null
+    * elements as 0 (see VecDot's doc).
     */
   def dot(a: Column, b: Column): Column = {
     val active = org.apache.spark.sql.SparkSession.getActiveSession

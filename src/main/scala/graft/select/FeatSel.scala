@@ -35,8 +35,30 @@ object FeatSel {
       keep: Seq[String] = Nil,
       problemType: String = "regression",
       folds: Int = 5,
-      seed: Long = 0L
+      seed: Long = 0L,
+      nJobs: Int = 1
   )
+
+  /** Maps run indices 0..n-1 through `f` on a fixed pool of `nJobs` driver
+    * threads (reference joblib n_jobs over `run_select_features`,
+    * featsel.py:244-246). Spark job submission is thread-safe and each run's
+    * randomness is derived from its index alone, so results are identical to
+    * sequential execution; only the per-run cluster jobs overlap. nJobs <= 0
+    * means one thread per run; 1 stays on the calling thread.
+    */
+  private def mapRuns[T](n: Int, nJobs: Int)(f: Int => T): Vector[T] = {
+    val par = math.max(1, math.min(if (nJobs <= 0) n else nJobs, n))
+    if (n <= 0) Vector.empty
+    else if (par == 1) (0 until n).map(f).toVector
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence((0 until n).map(i => Future(f(i))).toVector),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
 
   private def q(c: String) = col(s"`${c.replace("`", "``")}`")
 
@@ -59,6 +81,43 @@ object FeatSel {
     def featureIdx(i: Int): Int = i
     def shufIdx(i: Int): Int = { require(hasShuffled); d + i }
     def gaussIdx(i: Int): Int = (if (hasShuffled) 2 * d else d) + i
+  }
+
+  /** Collects a projection as column-major primitive arrays. Rows with any
+    * null/NaN among the selected columns are dropped executor-side; with
+    * `requirePositiveFirst` rows whose first column is <= 0 are dropped too
+    * (the IRLS-weight convention). Partitions pack their own double arrays,
+    * so the driver's peak footprint is the primitive data itself rather than
+    * boxed GenericRows (which cost several times rows·cols·8 bytes).
+    */
+  private def collectPrimitive(proj: DataFrame, requirePositiveFirst: Boolean = false): Array[Array[Double]] = {
+    val k = proj.columns.length
+    val parts: Array[Array[Array[Double]]] = proj.rdd.mapPartitions { rows =>
+      val bld = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+      rows.foreach { r =>
+        var ok = true
+        var i = 0
+        while (i < k && ok) {
+          ok = !r.isNullAt(i) && !r.getDouble(i).isNaN
+          i += 1
+        }
+        if (ok && (!requirePositiveFirst || r.getDouble(0) > 0.0)) {
+          var j = 0
+          while (j < k) { bld(j) += r.getDouble(j); j += 1 }
+        }
+      }
+      Iterator.single(bld.map(_.result()))
+    }.collect()
+    val n = parts.iterator.map(p => p(0).length).sum
+    Array.tabulate(k) { j =>
+      val out = new Array[Double](n)
+      var off = 0
+      parts.foreach { p =>
+        System.arraycopy(p(j), 0, out, off, p(j).length)
+        off += p(j).length
+      }
+      out
+    }
   }
 
   /** Column-count threshold between the two solver regimes: below it, fold
@@ -84,30 +143,16 @@ object FeatSel {
         new GramLasso(grams)
       } else {
         val wExpr = weightCol.map(q).getOrElse(lit(1.0))
-        val rows = frame.select(
+        // executor-side primitive packing: each partition filters bad rows
+        // and emits column-major double arrays, so the driver receives
+        // exactly rows·(d+2)·8 bytes — no boxed Row/Double overhead
+        val packed = collectPrimitive(frame.select(
           Seq(wExpr.cast("double").as("__wv"), q(targetCol).cast("double").as("__yv")) ++
-            all.map(c => q(c).cast("double")): _*).collect()
+            all.map(c => q(c).cast("double")): _*), requirePositiveFirst = true)
         val d = all.size
-        val xb = Array.fill(d)(new scala.collection.mutable.ArrayBuilder.ofDouble)
-        val yb = new scala.collection.mutable.ArrayBuilder.ofDouble
-        val wb = new scala.collection.mutable.ArrayBuilder.ofDouble
-        rows.foreach { r =>
-          var bad = false
-          var i = 0
-          while (i < d + 2 && !bad) {
-            if (r.isNullAt(i) || r.getDouble(i).isNaN) bad = true
-            i += 1
-          }
-          if (!bad && r.getDouble(0) > 0.0) {
-            wb += r.getDouble(0)
-            yb += r.getDouble(1)
-            var j = 0
-            while (j < d) { xb(j) += r.getDouble(2 + j); j += 1 }
-          }
-        }
-        val y = yb.result()
+        val y = packed(1)
         val foldOf = Array.tabulate(y.length)(_ % folds)
-        new DenseLasso(xb.map(_.result()), y, wb.result(), foldOf, folds)
+        new DenseLasso(packed.drop(2), y, packed(0), foldOf, folds)
       }
     new RunGrams(solver, featCols.size, shufCols.nonEmpty, gaussCols.size)
   }
@@ -205,7 +250,7 @@ object FeatSel {
     val nTotal = scaled.count()
     val d = featureCols.size
 
-    val selectedLists = (0 until math.max(0, cfg.featselRuns)).map { run =>
+    val selectedLists = mapRuns(math.max(0, cfg.featselRuns), cfg.nJobs) { run =>
       // 85% row subsample per run (featsel.py:229-231). sample() keeps the
       // subsample fully distributed — orderBy(rand).limit(n) would funnel
       // the whole frame through a global sort + one partition at scale.
@@ -282,27 +327,15 @@ object FeatSel {
     val isClf = cfg.problemType == "classification"
     val keep = cfg.keep.filter(featureCols.contains)
     val d = featureCols.size
-    val raw = df.select((featureCols :+ targetCol).map(c => q(c).cast("double")): _*).collect()
-    // skip rows with any null/NaN among used columns (same policy as the
-    // Gram accumulation path)
-    val clean = raw.filter { r =>
-      var ok = true
-      var i = 0
-      while (i <= d && ok) { ok = !r.isNullAt(i) && !r.getDouble(i).isNaN; i += 1 }
-      ok
-    }
-    val n = clean.length
+    // ONE cluster job: partitions drop null/NaN rows and pack column-major
+    // primitive arrays (see collectPrimitive) — the driver holds exactly the
+    // admission-bounded block, matching the reference's in-RAM bytes model
+    val packed = collectPrimitive(
+      df.select((featureCols :+ targetCol).map(c => q(c).cast("double")): _*))
+    val n = packed(0).length
     require(n > 0, "[featsel] no clean rows")
-    val x = Array.ofDim[Double](d, n)
-    val yRaw = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val r = clean(i)
-      var j = 0
-      while (j < d) { x(j)(i) = r.getDouble(j); j += 1 }
-      yRaw(i) = r.getDouble(d)
-      i += 1
-    }
+    val x = packed.take(d)
+    val yRaw = packed(d)
     // standard scale (ddof=0) — nb_standard_scale semantics
     def scaleInPlace(c: Array[Double]): Unit = {
       var s = 0.0; var ss = 0.0
@@ -330,7 +363,7 @@ object FeatSel {
       new RunGrams(new DenseLasso(cols, ys, ws, foldOf, cfg.folds), dFeat, hasShuf, g)
     }
 
-    val selectedLists = (0 until math.max(0, cfg.featselRuns)).map { run =>
+    val selectedLists = mapRuns(math.max(0, cfg.featselRuns), cfg.nJobs) { run =>
       val rnd = new scala.util.Random(cfg.seed + run)
       val idx = rnd.shuffle((0 until n).toVector).take(math.max(10, (0.85 * n).toInt)).toArray
       val nSub = idx.length

@@ -41,8 +41,10 @@ object Tables {
       spark.read.format("iceberg").option("as-of-timestamp", tsMillis.toString).load(nameOrPath)
     case _ =>
       import org.apache.spark.sql.functions._
+      // millisecond precision: timestamp_millis keeps sub-second as-of reads
+      // aligned with the Iceberg time-travel path
       read(spark, nameOrPath)
-        .filter(col(tsCol) <= lit(tsMillis / 1000).cast("timestamp"))
+        .filter(col(tsCol) <= timestamp_millis(lit(tsMillis)))
   }
 
   /** Write a frame as a table (overwrite). */

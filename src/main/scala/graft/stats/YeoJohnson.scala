@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * ITERATED GRID search: each stage evaluates the log-likelihood of every
   * (column, λ) candidate in ONE aggregation job (Σψ, Σψ² per candidate —
   * the λ-independent term Σ sign(x)·log1p|x| is shared), then zooms the grid
-  * around each column's argmax. Three stages give λ to ~2.5e-3 over the
-  * full data with 3 scans total, independent of column count — no driver
-  * collect of row data, no per-λ passes. The transform itself is a pure
-  * codegen'd projection.
+  * around each column's argmax. With 13 points per stage each zoom shrinks
+  * the spacing 6×: 4 stages (the default) resolve λ to ~2.3e-3 with 4 scans
+  * total, independent of column count — no driver collect of row data, no
+  * per-λ passes. Deviation from sklearn: Brent searches an unbounded λ while
+  * this grid is clamped to [lo, hi] = [-3, 3] (sklearn's optimum lies inside
+  * for any reasonably-scaled column; PowerTransformer parity is therefore
+  * approximate, gated by the exact-llf oracle in YeoJohnsonSpec).
   *
   * llf(λ) = −n/2 · ln(var_pop(ψ(x, λ))) + (λ−1) · Σ sign(x)·log1p(|x|)
   */
@@ -91,7 +94,7 @@ object YeoJohnson {
 
   /** Fit per-column λ (and standardization stats) over the frame. */
   def fit(df: DataFrame, cols: Seq[String], standardize: Boolean = true,
-          lo: Double = -3.0, hi: Double = 3.0, stages: Int = 3): Model = {
+          lo: Double = -3.0, hi: Double = 3.0, stages: Int = 4): Model = {
     val d = cols.size
     // λ-free terms: n and Σ sign(x)·log1p(|x|), one pass
     val slog = new Array[Double](d)

@@ -171,6 +171,60 @@ object Drive {
       println("X2DF_PRED_TRANSFORMED=" + p1.take(2).mkString(",") + "  RAW=" + p2.mkString(","))
       println("X2DF_SCORE_TRANSFORMED=" + model.score(full, "y"))
     }
+    // round 2b: units + pi theorem through the public fit/transform path
+    {
+      import spark.implicits._
+      import graft.model.{AutoFeat, AutoFeatConfig}
+      val rng = new scala.util.Random(7)
+      val rows = Seq.fill(300) {
+        val x1 = rng.nextDouble() + 0.1; val x2 = rng.nextGaussian(); val x3 = rng.nextDouble() + 0.1
+        (x1, x2, x3, 2.0 + 3.0 * x2 * x3 + 0.5 * x1) // target uses PT1 = x2*x3
+      }
+      val dfU = rows.toDF("x1", "x2", "x3", "y")
+      val (outU, mU) = AutoFeat.fitTransform(dfU, "y",
+        AutoFeatConfig(feategSteps = 1, featselRuns = 1,
+          units = Map("x2" -> "m/sec", "x3" -> "min/mm")))
+      println("PI_GROUPS=" + mU.piGroups.map(_._1).mkString(" | "))
+      println("PI_IN_OUT=" + outU.columns.contains("PT1_x2*x3") +
+        "  UNITS_R2=" + mU.score(dfU, "y"))
+      // dimensioned x2: exp(x2)/log-style names must be vetoed from the pool
+      println("VETO_OK=" + !mU.formulas.keySet.exists(n => n == "exp(x2)" || n == "exp(x3)"))
+      // transform on fresh data regenerates PT columns
+      val tr = mU.transform(dfU.drop("y")).df
+      println("PI_TRANSFORM_COLS=" + tr.columns.filter(_.startsWith("PT")).mkString(","))
+      // hostile: unknown unit string -> dimensionless, no PT groups, no veto
+      val (_, mBad) = AutoFeat.fitTransform(dfU, "y",
+        AutoFeatConfig(feategSteps = 1, featselRuns = 1, units = Map("x2" -> "blorps")))
+      println("UNKNOWN_UNIT_GROUPS=" + mBad.piGroups.size + " (expect 0)")
+    }
+    // round 2b: concurrent selection runs — identical sets, overlapped jobs
+    {
+      import spark.implicits._
+      import graft.select.FeatSel
+      val rng = new scala.util.Random(11)
+      val df3 = Seq.fill(2000) {
+        val c = Array.fill(7)(rng.nextGaussian())
+        (c(0), c(1), c(2), c(3), c(4), c(5), c(6),
+          3.0 * c(0) - 2.0 * c(5) + c(6) + rng.nextGaussian() * 0.1)
+      }.toDF((0 until 7).map(i => s"c$i") :+ "target": _*).cache()
+      df3.count()
+      val cols = (0 until 7).map(i => s"c$i")
+      val t1 = System.nanoTime()
+      val s1 = FeatSel.selectFeatures(df3, cols, "target", FeatSel.Config(nJobs = 1))
+      val t2 = System.nanoTime()
+      val s5 = FeatSel.selectFeatures(df3, cols, "target", FeatSel.Config(nJobs = 5))
+      val t3 = System.nanoTime()
+      println(f"NJOBS_EQ=${s1 == s5} sel=${s1.mkString(",")} seq=${(t2 - t1) / 1e9}%.2fs par=${(t3 - t2) / 1e9}%.2fs")
+    }
+    // round 2b: sub-second as-of table reads (millis-precision fallback)
+    {
+      import spark.implicits._
+      import graft.sources.Tables
+      val p = "/tmp/graft_drive_asof"
+      Seq((1L, new java.sql.Timestamp(1500L)), (2L, new java.sql.Timestamp(2500L)))
+        .toDF("id", "ts").write.mode("overwrite").parquet(p)
+      println("ASOF_MILLIS=" + Tables.readAsOf(spark, p, 2000L).count() + " (expect 1)")
+    }
     spark.stop()
   }
 }

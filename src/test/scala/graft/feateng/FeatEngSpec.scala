@@ -23,16 +23,24 @@ class FeatEngSpec extends SparkSpec {
     (res, goldenCols, goldenPool)
   }
 
+  /** Value parity vs a golden parquet. Against the float32 fit-matrix golden
+    * (steps 1-2) tolerance is 1e-4; steps=3 compares against a float64
+    * serving-path golden (the float32 matrix is too ill-conditioned on
+    * difference-reciprocal columns) at rtol 1e-5, on the generator's
+    * deterministic column sample.
+    */
   private def checkValues(steps: Int, res: EngineeredFrame): Unit = {
     // join on row_id is unavailable (engine drops extra cols); instead rely on
     // deterministic input order within this single-partition fixture read:
     // re-run the projection over input WITH row_id via the pool formulas
-    val golden = spark.read.parquet(fixture(s"f2_steps${steps}_golden.parquet"))
+    val (golden, rtol) =
+      if (steps >= 3) (spark.read.parquet(fixture("f2_steps3_float64_golden.parquet")), 1e-5)
+      else (spark.read.parquet(fixture(s"f2_steps${steps}_golden.parquet")), 1e-4)
     val gCols = golden.columns.filter(_ != "row_id").toSeq
-    val exprCols = res.newCols
-    assert(exprCols.toSet.subsetOf(gCols.toSet))
-    // compute our values straight from the formulas (float32 at each node is
-    // approximated by end-to-end double math; allclose rtol 1e-5)
+    val allNew = res.newCols
+    // the golden's columns define the checked sample (all of them for <=2)
+    val exprCols = gCols.filter(allNew.contains)
+    assert(exprCols.size == (if (steps >= 3) gCols.size else allNew.size))
     import graft.expr.{Compile, F}
     val sym2col = Map("x1" -> "x1", "x2" -> "x2", "x3" -> "x3")
     val ours = input.select(col("row_id") +: exprCols.zipWithIndex.map { case (n, i) =>
@@ -48,7 +56,7 @@ class FeatEngSpec extends SparkSpec {
     val r = joined.agg(checks.head, checks.tail: _*).collect()(0)
     exprCols.zipWithIndex.foreach { case (n, i) =>
       val relErr = r.getDouble(i)
-      assert(relErr < 1e-4, s"column '$n' max rel err $relErr")
+      assert(relErr < rtol, s"column '$n' max rel err $relErr")
     }
   }
 
@@ -66,5 +74,17 @@ class FeatEngSpec extends SparkSpec {
     assert(res.columns == goldenCols) // insertion order too
     assert(res.pool.keySet == goldenPool.toSet)
     checkValues(2, res)
+  }
+
+  test("steps=3: engineered column set and order match the reference") {
+    // the reference's own tests run feateng_steps=3 (tests/test_autofeat.py:28-35);
+    // depth-3 canonicalization (nested Pow/Mul merging) is pinned exactly here
+    val (res, goldenCols, goldenPool) = runSteps(3)
+    assert(res.columns.toSet == goldenCols.toSet,
+      s"missing=${(goldenCols.toSet -- res.columns.toSet).take(20)} " +
+        s"extra=${(res.columns.toSet -- goldenCols.toSet).take(20)}")
+    assert(res.columns == goldenCols) // insertion order too
+    assert(res.pool.keySet == goldenPool.toSet)
+    checkValues(3, res)
   }
 }

@@ -68,6 +68,28 @@ class AutoFeatSpec extends SparkSpec {
     assert(model.originalColumns.contains("x4"))
   }
 
+  test("units + pi theorem: R² >= 0.999 with dimensional veto (test_autofeat.py:139-149)") {
+    // same x1..x3 draws as the f2 fixture (seed 15); the units-test target
+    // (reference tests/test_autofeat.py:140-144) is recomputed here — every
+    // needed term is dimensionally legal under {x2: m/sec, x3: min/mm}
+    val dfU = df.withColumn("target",
+      lit(2.0) + lit(15.0) * col("x1") +
+        lit(3.0) / (col("x2") - lit(1.0) / col("x3")) +
+        lit(5.0) * pow(col("x2") * log(col("x1")), 3.0)).cache()
+    val (out, model) = AutoFeat.fitTransform(dfU, "target",
+      AutoFeatConfig(feategSteps = 3, units = Map("x2" -> "m/sec", "x3" -> "min/mm")))
+    // PT1 = x2*x3 (the only dimensionless group), named like pint.formatter
+    assert(out.columns.contains("PT1_x2*x3"), out.columns.take(8).mkString(", "))
+    assert(model.piGroups.map(_._1) == Seq("PT1_x2*x3"))
+    // dimensionally-illegal formulas must not exist in the model pool
+    val names = model.formulas.keySet
+    assert(!names.contains("exp(x2)") && !names.contains("x2**2 + x2") &&
+      !names.exists(n => n.startsWith("x1 + x2") || n == "x2 + x3"))
+    val r2 = model.score(dfU, "target")
+    info(s"r2=$r2 selected=${model.goodCols.mkString(", ")}")
+    assert(r2 >= 0.999, s"R² = $r2")
+  }
+
   test("model JSON roundtrips formulas") {
     import graft.expr.{ExprJson, F, Var}
     val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))

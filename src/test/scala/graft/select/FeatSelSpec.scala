@@ -48,4 +48,12 @@ class FeatSelSpec extends SparkSpec {
     assert(good.toSet == Set("c0", "c5", "c6", "c1", "c4"), s"selected $good")
     assert(good.take(2) == Seq("c1", "c4")) // keep first
   }
+
+  test("concurrent runs (nJobs) select the identical set in the same order") {
+    // per-run randomness is derived from the run index alone, so overlapping
+    // the runs on driver threads must not change the outcome
+    val seq = FeatSel.selectFeatures(df, cols, "target", FeatSel.Config(nJobs = 1))
+    val par = FeatSel.selectFeatures(df, cols, "target", FeatSel.Config(nJobs = 5))
+    assert(par == seq, s"nJobs=5 gave $par, nJobs=1 gave $seq")
+  }
 }

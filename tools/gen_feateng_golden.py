@@ -35,7 +35,7 @@ def main():
     inp["target"] = target
     inp.to_parquet(f"{OUT}/f2_input.parquet", index=False)
 
-    for steps in (1, 2):
+    for steps in (1, 2, 3):
         df, pool = engineer_features(dfin.copy(), max_steps=steps, verbose=0)
         golden = df.copy()
         golden.insert(0, "row_id", np.arange(len(golden)))
@@ -44,6 +44,24 @@ def main():
             fh.write("\t".join(map(str, df.columns)) + "\n")
             fh.write("\t".join(map(str, pool.keys())) + "\n")
         print(f"steps={steps}: {len(df.columns)} cols, pool={len(pool)}")
+        if steps == 3:
+            # float64 serving-path golden on a deterministic column sample
+            # (the float32 fit matrix is too ill-conditioned for value parity
+            # on difference-reciprocal columns; mirror FeatEngSpec's sampling:
+            # every (len//120+1)-th new column)
+            import sympy
+            new_cols = [c for c in df.columns if c not in ("x1", "x2", "x3")]
+            stride = len(new_cols) // 120 + 1
+            sample = new_cols[::stride]
+            out = {"row_id": np.arange(len(dfin))}
+            cols64 = {c: dfin[c].to_numpy(dtype=float) for c in dfin.columns}
+            for name in sample:
+                expr = pool[name]
+                syms = sorted(expr.free_symbols, key=lambda s: str(s))
+                fn = sympy.lambdify(syms, expr)
+                out[name] = fn(*[cols64[str(s)] for s in syms]).astype(float)
+            pd.DataFrame(out).to_parquet(f"{OUT}/f2_steps3_float64_golden.parquet", index=False)
+            print(f"steps=3 float64 sample: {len(sample)} cols")
 
 
 if __name__ == "__main__":
