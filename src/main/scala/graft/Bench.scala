@@ -108,8 +108,10 @@ object Bench {
     // Median of 3 runs so a noisy driver machine can't skew the round.
     def forceAll(df: DataFrame): Long = {
       val cols = df.columns.map(c => col(s"`$c`"))
+      // sum the hash as double: a long sum overflows under ANSI mode
+      // (Spark 4 default) once enough 64-bit hashes accumulate
       df.select(xxhash64(cols: _*).as("__h"))
-        .agg(count(lit(1)).as("n"), sum(col("__h"))).collect()(0).getLong(0)
+        .agg(count(lit(1)).as("n"), sum(col("__h").cast("double"))).collect()(0).getLong(0)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to 3).map { _ =>

@@ -193,11 +193,14 @@ object SparkEntry {
     // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
     // the scale path buckets by LSH/IVF first — same scoring expression)
     "q_embed_neardup" -> ((s, dir) => {
+      import graft.pipeline.Similarity
       val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 200)
-        .select(col("vec_id"), col("embedding"))
-      val joined = e.toDF("id1", "v1")
-        .join(broadcast(e.toDF("id2", "v2")), col("id1") < col("id2"))
-        .withColumn("rcos", round(graft.pipeline.Similarity.cosine(col("v1"), col("v2")), 5))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm")) // norm once per vector
+      val joined = e.toDF("id1", "v1", "n1")
+        .join(broadcast(e.toDF("id2", "v2", "n2")), col("id1") < col("id2"))
+        .withColumn("rcos", round(
+          Similarity.dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), 5))
       joined.filter(col("rcos") >= 0.3).select(col("id1"), col("id2"), col("rcos"))
     }),
 

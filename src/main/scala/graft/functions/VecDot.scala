@@ -104,6 +104,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash(text, bits)")
+        val bits = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+        }
+        SimhashExpr(args.head, bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_signature"),
       (args: Seq[Expression]) => {

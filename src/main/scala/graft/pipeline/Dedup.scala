@@ -153,9 +153,15 @@ object Dedup {
   }
 
   /** 32-bit SimHash over tokens: bit b is 1 iff the weighted sum of token
-    * hash bits at position b is positive. Pure expressions (no UDF).
+    * hash bits at position b is positive. Uses the native one-pass
+    * [[graft.functions.SimhashExpr]] when the session carries
+    * GraftExtensions (bit-identical; the HOF fallback re-traverses the
+    * token array once per BIT with an interpreted lambda — ~30x slower).
     */
   def simhash(text: Column, bits: Int = 32): Column = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("simhash")))
+      return call_function("simhash", text, lit(bits))
     val tokenHashes = transform(TextOps.tokens(lower(text)), t =>
       conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     (0 until bits).map { b =>

@@ -38,10 +38,13 @@ object Similarity {
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / greatest(col("__qn") * col("__cn"), lit(1e-12)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -124,12 +127,9 @@ object Similarity {
     */
   def clusterCol(vec: Column, cents: Array[Array[Double]]): Column = {
     // spherical assignment: maximize dot(v, c) over unit centroids
-    // (equivalent to cosine since ||v|| is constant per row)
-    val sims = array(cents.map { c =>
-      val carr = array(c.map(lit): _*)
-      aggregate(zip_with(vec, carr, (x, ctr) => x.cast("double") * ctr),
-        lit(0.0), (acc, v) => acc + v)
-    }: _*)
+    // (equivalent to cosine since ||v|| is constant per row); dot() routes
+    // through the native vec_dot expression when available
+    val sims = array(cents.map(c => dot(vec, array(c.map(lit): _*))): _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
@@ -140,9 +140,7 @@ object Similarity {
     */
   def probeClusters(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
     val entries = array(cents.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.map(lit): _*)
-      val sim = aggregate(zip_with(vec, carr, (x, ctr) => x.cast("double") * ctr),
-        lit(0.0), (acc, v) => acc + v)
+      val sim = dot(vec, array(c.map(lit): _*))
       struct((-sim).as("negsim"), lit(i).as("idx"))
     }: _*)
     transform(slice(array_sort(entries), 1, nProbe), e => e.getField("idx"))
@@ -158,12 +156,15 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       clusterCol(col(vecCol), cents).as("__cluster"))
     val qDf = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
       explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
     val scored = assigned.join(qDf, Seq("__cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / greatest(col("__qn") * col("__cn"), lit(1e-12)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -181,13 +182,17 @@ object Similarity {
   def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: Array[Array[Double]], threshold: Double,
                       nProbe: Int = 2, roundTo: Int = 5): DataFrame = {
+    // norm computed ONCE per vector before the pair join (cosine() inline
+    // would recompute both norms per PAIR — 3 dot products instead of 1)
     val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__norm"),
       explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
-    val a = probed.toDF("id1", "v1", "__cluster")
-    val b = probed.toDF("id2", "v2", "__cluster")
+    val a = probed.toDF("id1", "v1", "n1", "__cluster")
+    val b = probed.toDF("id2", "v2", "n2", "__cluster")
     a.join(b, Seq("__cluster"))
       .filter(col("id1") < col("id2"))
-      .withColumn("rcos", round(cosine(col("v1"), col("v2")), roundTo))
+      .withColumn("rcos", round(
+        dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), roundTo))
       .filter(col("rcos") >= threshold)
       .select("id1", "id2", "rcos")
       .distinct()
