@@ -63,6 +63,19 @@ def main():
             pd.DataFrame(out).to_parquet(f"{OUT}/f2_steps3_float64_golden.parquet", index=False)
             print(f"steps=3 float64 sample: {len(sample)} cols")
 
+    # deep-wave fixture: 2 features, reduced transform set, steps 4 and 5 —
+    # pins the scheduler's alternating transform/combine loop beyond the
+    # reference's own steps=3 tests (name sets only; values are covered by
+    # the shared canonicalizer + projection parity above)
+    df4in = dfin[["x1", "x2"]].copy()
+    for steps, trans in ((4, ("1/", "^2", "sqrt")),):
+        df4, pool4 = engineer_features(
+            df4in.copy(), max_steps=steps, transformations=trans, verbose=0)
+        with open(f"{OUT}/f4_steps{steps}_cols.txt", "w") as fh:
+            fh.write("\t".join(map(str, df4.columns)) + "\n")
+            fh.write("\t".join(map(str, pool4.keys())) + "\n")
+        print(f"deep steps={steps}: {len(df4.columns)} cols, pool={len(pool4)}")
+
 
 if __name__ == "__main__":
     main()
