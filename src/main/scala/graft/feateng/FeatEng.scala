@@ -178,8 +178,10 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
     // each, and a wave needs stats for thousands of features.
     def guardStats(feats: Seq[String]): Map[String, GStats] = {
       val k = feats.size
+      // InternalRow passes (toRdd, not .rdd): no per-field boxing — see
+      // Gram.compute. Values are consumed immediately per row.
       val proj = df.select(feats.map(c => q(c).cast("double")): _*)
-      val (mns, mxs, zs) = proj.rdd.mapPartitions { rows =>
+      val (mns, mxs, zs) = proj.queryExecution.toRdd.mapPartitions { rows =>
         val mn = Array.fill(k)(Double.PositiveInfinity)
         val mx = Array.fill(k)(Double.NegativeInfinity)
         val z = new Array[Long](k)
@@ -207,7 +209,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
         (a1, b1, c1)
       }
       val mnB = mns; val mxB = mxs
-      val others = proj.rdd.mapPartitions { rows =>
+      val others = proj.queryExecution.toRdd.mapPartitions { rows =>
         val o = new Array[Long](k)
         rows.foreach { r =>
           var i = 0
@@ -259,7 +261,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       cands.indices.foreach { i => crossOff(i) = coAcc; coAcc += parentsOf(i).length }
       val nCross = coAcc
       val proj = waveDf.select((parents ++ cands.map(_._1)).map(c => q(c).cast("double")): _*)
-      val acc = proj.rdd.mapPartitions { rows =>
+      val acc = proj.queryExecution.toRdd.mapPartitions { rows =>
         val a = new WaveAcc(nP, nC, nCross)
         val pv = new Array[Double](nP)
         rows.foreach { r =>

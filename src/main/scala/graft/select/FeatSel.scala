@@ -92,7 +92,9 @@ object FeatSel {
     */
   private def collectPrimitive(proj: DataFrame, requirePositiveFirst: Boolean = false): Array[Array[Double]] = {
     val k = proj.columns.length
-    val parts: Array[Array[Array[Double]]] = proj.rdd.mapPartitions { rows =>
+    // InternalRow pass (toRdd, not .rdd): no per-field boxing; values are
+    // copied into the builders immediately, row objects never retained
+    val parts: Array[Array[Array[Double]]] = proj.queryExecution.toRdd.mapPartitions { rows =>
       val bld = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
       rows.foreach { r =>
         var ok = true

@@ -143,8 +143,13 @@ object Gram {
     val yOff = wOff + (if (hasW) 1 else 0)
     val xOff = yOff + (if (hasY) 1 else 0)
     // buffers are created per partition (a closure-captured zero of size
-    // O(folds·d²) would be broadcast with every stage)
-    df.select(cols: _*).rdd.mapPartitions { rows =>
+    // O(folds·d²) would be broadcast with every stage).
+    // queryExecution.toRdd (InternalRow), NOT .rdd: the latter inserts a
+    // deserializer that boxes every double into a GenericRow field; the
+    // InternalRow path keeps whole-stage codegen's primitive decoding right
+    // up to this iterator. Values are read immediately (UnsafeRow objects
+    // are reused by the scan), never retained.
+    df.select(cols: _*).queryExecution.toRdd.mapPartitions { rows =>
       val acc = Array.fill(nFolds)(new Gram(d))
       val x = new Array[Double](d)
       rows.foreach { row =>

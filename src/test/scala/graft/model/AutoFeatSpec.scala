@@ -17,7 +17,9 @@ class AutoFeatSpec extends SparkSpec {
   }
 
   test("R² >= 0.999 at feateng_steps=3 (test_autofeat.py:28-34)") {
-    val (_, model) = AutoFeat.fitTransform(df, "target", AutoFeatConfig(feategSteps = 3))
+    // nJobs=5 overlaps the selection runs (identical results — FeatSelSpec)
+    val (_, model) = AutoFeat.fitTransform(df, "target",
+      AutoFeatConfig(feategSteps = 3, nJobs = 5))
     val r2 = model.score(df, "target")
     info(s"selected=${model.goodCols.mkString(", ")}")
     info(s"r2=$r2")
@@ -46,7 +48,7 @@ class AutoFeatSpec extends SparkSpec {
     val stats = df.agg(avg("target")).collect()(0).getDouble(0)
     val binDf = df.withColumn("label", (col("target") > stats).cast("int")).drop("target")
     val (_, model) = AutoFeat.fitTransform(binDf, "label",
-      AutoFeatConfig(problemType = "classification", feategSteps = 3))
+      AutoFeatConfig(problemType = "classification", feategSteps = 3, nJobs = 5))
     val acc = model.score(binDf, "label")
     info(s"accuracy=$acc selected=${model.goodCols.mkString(", ")}")
     assert(acc >= 0.95, s"accuracy $acc")
@@ -77,7 +79,8 @@ class AutoFeatSpec extends SparkSpec {
         lit(3.0) / (col("x2") - lit(1.0) / col("x3")) +
         lit(5.0) * pow(col("x2") * log(col("x1")), 3.0)).cache()
     val (out, model) = AutoFeat.fitTransform(dfU, "target",
-      AutoFeatConfig(feategSteps = 3, units = Map("x2" -> "m/sec", "x3" -> "min/mm")))
+      AutoFeatConfig(feategSteps = 3, nJobs = 5,
+        units = Map("x2" -> "m/sec", "x3" -> "min/mm")))
     // PT1 = x2*x3 (the only dimensionless group), named like pint.formatter
     assert(out.columns.contains("PT1_x2*x3"), out.columns.take(8).mkString(", "))
     assert(model.piGroups.map(_._1) == Seq("PT1_x2*x3"))
