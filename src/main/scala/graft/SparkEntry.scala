@@ -107,6 +107,45 @@ object SparkEntry {
     }),
 
     // ---- text analysis: token counts, quality, language-ID, fingerprint
+    // ---- Buckingham-pi columns through the public units/model API:
+    // two derived event columns with units m/sec and min/mm admit exactly
+    // one dimensionless group PT1 = pace*speed (exact rational nullspace)
+    "q_pi_theorem" -> ((s, dir) => {
+      import graft.units.{PiTheorem, Units}
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          col("value").cast("double").as("speed"),
+          (col("value") * 2.0 + 1.0).as("pace"))
+      val dims = Seq("speed" -> Units.parseOrDimensionless("m/sec"),
+        "pace" -> Units.parseOrDimensionless("min/mm"))
+      val groups = PiTheorem.groups(dims).zipWithIndex.map { case (g, i) =>
+        (s"PT${i + 1}_${PiTheorem.formatGroup(g)}",
+          g.toSeq.sortBy(_._1).map { case (c, x) => c -> x.toDouble })
+      }
+      val withPt = graft.model.AutoFeat.addPiColumns(e, groups)
+      withPt.select(col("event_id"),
+        round(col(s"`${withPt.columns.last}`"), 6).as("pt1"))
+    }),
+
+    // ---- multimodal plumbing: text bytes as opaque media -> thumbnail /
+    // frame-sample / stub-decoded embedding; the oracle pins row alignment
+    // and output shapes (embedding VALUES are pinned by MultimodalSpec's
+    // determinism test — the stub hash is not SQL-expressible)
+    "q_multimodal" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          struct(lit("text/plain").as("mime"), lit(0).as("width"),
+            lit(0).as("height"), lit(0L).as("duration_ms")).as("meta"))
+      val dec = Multimodal.decodeToEmbedding(Multimodal.extract(d), dim = 8)
+      dec.select(col("media_id"),
+        size(col("embedding")).as("emb_dim"),
+        size(col("frames")).as("n_frames"),
+        length(col("thumbnail")).as("thumb_len"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(
@@ -293,6 +332,14 @@ object SparkEntry {
         |  CAST(o_orderstatus = 'O' AS DOUBLE) AS "cat_o_orderstatus_O",
         |  CAST(o_orderstatus = 'P' AS DOUBLE) AS "cat_o_orderstatus_P"
         |FROM orders""".stripMargin,
+
+    "q_pi_theorem" ->
+      """SELECT event_id, round((value * 2 + 1) * value, 6) AS pt1
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, 8 AS emb_dim, 4 AS n_frames, 64 AS thumb_len
+        |FROM documents""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
