@@ -62,6 +62,43 @@ object Plans {
         .explain("formatted")
     }
 
+    section("FULL flagship pipeline — exchange census") {
+      val base = PointInTime.baseFeatures(turns)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sessions = base.groupBy(col("conv_id"), col("session_id"))
+        .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"),
+          count(lit(1)).as("session_turns"))
+      val joined = AsOfJoin.asof(base, sessions, "conv_id", "ts",
+        Seq("session_len", "session_turns"))
+      import graft.expr.{Compile, F, Var}
+      val winners = Seq(
+        F.log(Var("text_len")), F.sqrt(Var("cum_text_len")),
+        F.mul(F.log(Var("cum_text_len")), F.recip(Var("turns_so_far"))))
+      val out = joined.select(
+        Seq(col("conv_id"), col("turn_idx"), col("ts"),
+          col("asof_session_len").cast("double").as("asof_session_len")) ++
+          winners.map(e =>
+            Compile.toColumn(e, s => col(s).cast("double")).as(e.name)): _*)
+      val plan = out.queryExecution.executedPlan.toString
+      val nExch = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val nSort = "\\+- Sort ".r.findAllIn(plan).size
+      out.explain("formatted")
+      // NOTE the raw counts overcount: the cached base's build plan (its
+      // one exchange + sort) is re-printed for every InMemoryTableScan
+      // reference and AQE stage variant. Verified topology (read the plan):
+      //   base windows     = 1 exchange(conv_id) + 1 sort, computed ONCE
+      //   sessions groupBy = 0 exchanges (partial+final HashAggregate
+      //                      back-to-back: hashpartitioning(conv_id)
+      //                      satisfies ClusteredDistribution(conv_id,
+      //                      session_id) via the cached base)
+      //   as-of union win  = 1 exchange + 1 sort (UnionExec reports
+      //                      UnknownPartitioning even for co-partitioned
+      //                      children — unavoidable in vanilla Spark)
+      // => the turns table is shuffled exactly twice end-to-end.
+      println(s"EXCHANGES=$nExch SORTS=$nSort (raw count incl. cached-plan reprints; true topology: 2 shuffles, see note)")
+      base.unpersist()
+    }
+
     section("knn — broadcast query side, native vec_dot in the scorer") {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.pipeline.Similarity.bruteForceKnn(
