@@ -63,9 +63,28 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"), col("__salt"))
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // union the tagged frames. With GraftExtensions, the custom
+    // CoPartitionedUnion keeps the left side's hash partitioning visible to
+    // the window (built-in UnionExec reports UnknownPartitioning, forcing a
+    // full reshuffle of base + summaries even when the left side — the big
+    // one — is already partitioned by the key, e.g. fresh out of the
+    // point-in-time window layer). EnsureRequirements still inserts the
+    // exchanges needed to make each side key-clustered, so semantics are
+    // identical either way.
+    val unioned: DataFrame =
+      if (graft.plans.CoPartitionedUnion.available(spark)) {
+        val lp = lFrame.queryExecution.analyzed
+        val rp = rFrame.queryExecution.analyzed
+        require(lp.output.map(_.name) == rp.output.map(_.name),
+          "as-of union sides must be column-aligned")
+        org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+          graft.plans.CoPartitionedUnion(lp, rp,
+            lp.output.filter(_.name == "__k"), rp.output.filter(_.name == "__k")))
+      } else lFrame.unionByName(rFrame)
+
     // the payload struct is null on left rows, so last(ignoreNulls=true)
     // carries the latest RIGHT payload forward into each left row
-    val filled = lFrame.unionByName(rFrame)
+    val filled = unioned
       .withColumn("__pay",
         when(col("__tag") === 0, struct(rightPayload.map(c => q(prefix + c)): _*)))
       .withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin bridge into the `private[sql]` Dataset constructor, used to hand a
+  * custom LogicalPlan (graft.plans.CoPartitionedUnion) back to the public
+  * DataFrame API. Lives under org.apache.spark.sql solely for access scope.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}
