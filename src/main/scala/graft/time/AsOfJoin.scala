@@ -27,7 +27,12 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            rightPayload: Seq[String], prefix: String = "asof_",
            skewThreshold: Long = 2000000L, salts: Int = 8,
-           numPartitions: Int = 0): DataFrame = {
+           numPartitions: Int = 0,
+           /** Test seam: force the built-in unionByName formulation even
+             * when CoPartitionedUnion is plannable (parity coverage for
+             * sessions without GraftExtensions).
+             */
+           forceBuiltinUnion: Boolean = false): DataFrame = {
     val spark = left.sparkSession
 
     // top skewed keys on the left (bounded collect)
@@ -72,7 +77,7 @@ object AsOfJoin {
     // exchanges needed to make each side key-clustered, so semantics are
     // identical either way.
     val unioned: DataFrame =
-      if (graft.plans.CoPartitionedUnion.available(spark)) {
+      if (!forceBuiltinUnion && graft.plans.CoPartitionedUnion.available(spark)) {
         val lp = lFrame.queryExecution.analyzed
         val rp = rFrame.queryExecution.analyzed
         require(lp.output.map(_.name) == rp.output.map(_.name),

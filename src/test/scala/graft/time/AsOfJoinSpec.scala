@@ -64,4 +64,20 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("ts").select("asof_v").collect()
     assert(got(0).isNullAt(0) && got(1).getDouble(0) == 7.0)
   }
+
+  test("CoPartitionedUnion and built-in union formulations agree exactly") {
+    // TestSpark carries GraftExtensions, so the default path plans the
+    // custom union; the forced built-in path covers extension-less sessions
+    val rng = new scala.util.Random(11)
+    val left = (0 until 600).map(_ =>
+      (s"k${rng.nextInt(9)}", ts(rng.nextInt(50000).toLong))).toDF("k", "ts")
+    val right = (0 until 150).map(i =>
+      (s"k${rng.nextInt(9)}", ts(rng.nextInt(50000).toLong), i.toDouble)).toDF("k", "ts", "v")
+    val fast = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+    val slow = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), forceBuiltinUnion = true)
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+    // and the custom node is actually in the default plan
+    val planStr = fast.queryExecution.executedPlan.toString
+    assert(planStr.contains("CoPartitionedUnion"), "custom union not planned")
+  }
 }
