@@ -23,10 +23,12 @@ import graft.stats.{Gram, Scaling}
   * subsample — the 10^12-row table is never touched here.
   *
   * Documented deviations from the reference (SURVEY.md §7.4.3): our own RNG
-  * (not numpy MT19937); the shuffled-noise copy permutes each column
-  * independently (reference permutes the flattened pool; both preserve
-  * per-run marginals and break the X→y link); one noise draw per run is
-  * reused by that run's fits rather than redrawn per fit.
+  * (not numpy MT19937); the shuffled-noise copy permutes whole ROWS of the
+  * feature block with one global permutation (reference permutes the
+  * flattened pool, destroying cross-column structure too; both preserve
+  * per-column marginals and break the X→y link, which is all the noise
+  * threshold uses); one noise draw per run is reused by that run's fits
+  * rather than redrawn per fit.
   */
 object FeatSel {
 
@@ -62,7 +64,10 @@ object FeatSel {
 
   private def q(c: String) = col(s"`${c.replace("`", "``")}`")
 
-  /** Adds per-column row-shuffled copies of `cols` named `__shuf_i`. */
+  /** Adds row-shuffled copies of `cols` named `__shuf_i`: ONE global random
+    * permutation applied to the whole feature-row vector (see the deviation
+    * note above — per-column marginals preserved, X→y link broken).
+    */
   private[select] def withShuffledCopy(df: DataFrame, cols: Seq[String], seed: Long): DataFrame = {
     val spark = df.sparkSession
     val left = df.rdd.zipWithIndex().map(_.swap)
