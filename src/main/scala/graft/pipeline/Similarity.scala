@@ -171,6 +171,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Centroid-count guideline for corpus-scale IVF: k ≈ √N balances the
+    * assignment cost (N·k dot products) against the within-cluster scoring
+    * cost (≈ N²/k pair evaluations for near-dup, N·k_top/k for search), and
+    * keeps the expected cluster population at √N — small enough that even a
+    * few-× skewed cluster stays under a reasonable `maxClusterSize`. Clamped
+    * to [16, 65536]: below 16 clusters prune nothing, above 64k the
+    * broadcast centroid table and per-row argmax stop being cheap (at that
+    * point shard the corpus and train a two-level quantizer instead).
+    */
+  def suggestNCentroids(corpusSize: Long): Int =
+    math.max(16, math.min(65536, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+
   /** Corpus×corpus near-duplicate pairs at scale: every vector is exploded
     * to its `nProbe` nearest clusters, shuffled ONCE by cluster id, and
     * scored pairwise only within a cluster (the IVF analogue of LSH band
@@ -178,23 +190,50 @@ object Similarity {
     * vectors' probe sets intersect; `nProbe` trades recall for the
     * replication factor. Output: (id1, id2, rcos) with id1 < id2, cosine
     * rounded to `roundTo` digits, kept when ≥ threshold.
+    *
+    * Mega-cluster safety (same hazard + same cure as
+    * [[Dedup.lshCandidatePairs]]): boilerplate-heavy corpora collapse many
+    * vectors onto one centroid, and an uncapped within-cluster join does
+    * C(k,2) pair evaluations in ONE task. Clusters with more than
+    * `maxClusterSize` members therefore score only the STAR around the
+    * cluster's minimum id (linear: each member vs the hub) instead of all
+    * pairs — transitive connectivity for downstream connected-component
+    * dedup is preserved, direct pair coverage is reduced only for clusters
+    * already past the cap. Cluster sizes come from spillable window
+    * aggregates whose hash partitioning is reused by the pair join — the
+    * capped plan still shuffles the corpus exactly once. Pick
+    * `cents` via [[suggestNCentroids]] (k ≈ √N) so the expected cluster
+    * population stays far below the cap in the first place.
     */
   def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: Array[Array[Double]], threshold: Double,
-                      nProbe: Int = 2, roundTo: Int = 5): DataFrame = {
+                      nProbe: Int = 2, roundTo: Int = 5,
+                      maxClusterSize: Int = 4096): DataFrame = {
     // norm computed ONCE per vector before the pair join (cosine() inline
     // would recompute both norms per PAIR — 3 dot products instead of 1)
     val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__norm"),
       explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
-    val a = probed.toDF("id1", "v1", "n1", "__cluster")
-    val b = probed.toDF("id2", "v2", "n2", "__cluster")
-    a.join(b, Seq("__cluster"))
-      .filter(col("id1") < col("id2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__cluster")
+    val sized = probed.select(col("__id"), col("__v"), col("__norm"), col("__cluster"),
+      count(lit(1)).over(w).as("__csize"), min(col("__id")).over(w).as("__hub"))
+    def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("rcos", round(
         dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), roundTo))
       .filter(col("rcos") >= threshold)
       .select("id1", "id2", "rcos")
-      .distinct()
+    val a = sized.filter(col("__csize") <= maxClusterSize)
+      .select(col("__id").as("id1"), col("__v").as("v1"), col("__norm").as("n1"), col("__cluster"))
+    val b = sized.filter(col("__csize") <= maxClusterSize)
+      .select(col("__id").as("id2"), col("__v").as("v2"), col("__norm").as("n2"), col("__cluster"))
+    val small = scored(a.join(b, Seq("__cluster")).filter(col("id1") < col("id2")))
+    // mega clusters: each member joins exactly its cluster's single hub row
+    // (a 1-row-per-cluster build side), so per-task work stays linear
+    val hubs = sized.filter(col("__csize") > maxClusterSize && col("__id") === col("__hub"))
+      .select(col("__cluster"), col("__id").as("id1"), col("__v").as("v1"), col("__norm").as("n1"))
+    val megaMembers = sized.filter(col("__csize") > maxClusterSize && col("__id") =!= col("__hub"))
+      .select(col("__cluster"), col("__id").as("id2"), col("__v").as("v2"), col("__norm").as("n2"))
+    val mega = scored(megaMembers.join(hubs, Seq("__cluster")))
+    small.union(mega).distinct()
   }
 }

@@ -31,7 +31,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 final case class CoPartitionedUnion(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output
+  // like Union: the merged schema is nullable wherever EITHER side is —
+  // reusing left.output verbatim would misdeclare right-side rows (a
+  // non-nullable left attribute read on a right row skips null checks in
+  // codegen and yields garbage). Types must match exactly for the
+  // positional zipPartitions concat to be sound.
+  override def output: Seq[Attribute] = CoPartitionedUnion.mergedOutput(left.output, right.output)
   // the node reads EVERY column of BOTH children positionally (output lists
   // only the left attributes) — without this, ColumnPruning sees the right
   // child's columns as unreferenced and prunes them, silently misaligning
@@ -47,7 +52,7 @@ final case class CoPartitionedUnion(left: LogicalPlan, right: LogicalPlan,
 
 final case class CoPartitionedUnionExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression]) extends BinaryExecNode {
-  override def output: Seq[Attribute] = left.output
+  override def output: Seq[Attribute] = CoPartitionedUnion.mergedOutput(left.output, right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
@@ -78,4 +83,18 @@ object CoPartitionedUnion {
   /** True when the session can plan CoPartitionedUnion (GraftExtensions). */
   def available(spark: SparkSession): Boolean =
     spark.sessionState.planner.strategies.exists(_ eq CoPartitionedUnionStrategy)
+
+  /** Union-style output merge: left attributes (identity/exprIds preserved)
+    * widened to `nullable` wherever the right side is nullable; positional
+    * dataTypes must match exactly.
+    */
+  def mergedOutput(l: Seq[Attribute], r: Seq[Attribute]): Seq[Attribute] = {
+    require(l.length == r.length,
+      s"co-partitioned union arity mismatch: ${l.length} vs ${r.length}")
+    l.zip(r).map { case (la, ra) =>
+      require(la.dataType == ra.dataType,
+        s"co-partitioned union type mismatch at '${la.name}': ${la.dataType} vs ${ra.dataType}")
+      la.withNullability(la.nullable || ra.nullable)
+    }
+  }
 }

@@ -32,15 +32,25 @@ object AsOfJoin {
              * when CoPartitionedUnion is plannable (parity coverage for
              * sessions without GraftExtensions).
              */
-           forceBuiltinUnion: Boolean = false): DataFrame = {
+           forceBuiltinUnion: Boolean = false,
+           /** Caller-supplied skew knowledge: `Some(keys)` salts exactly
+             * those keys and SKIPS the detection scan; `Some(Nil)` asserts
+             * "no skew" and also skips it. `None` (default) runs the
+             * bounded groupBy-count pre-scan. At 10^12 rows that scan is an
+             * extra full pass + aggregate per asof() call, so production
+             * pipelines that already know their mega-conversations (or
+             * cache one detection result across many joins) should pass it
+             * in.
+             */
+           skewKeys: Option[Seq[String]] = None): DataFrame = {
     val spark = left.sparkSession
 
-    // top skewed keys on the left (bounded collect)
-    val skewedKeys: Seq[String] =
+    // top skewed keys on the left (bounded collect), unless supplied
+    val skewedKeys: Seq[String] = skewKeys.getOrElse(
       left.groupBy(col(keyCol).cast("string").as("__k")).count()
         .filter(col("count") > skewThreshold)
         .orderBy(desc("count")).limit(1000)
-        .collect().map(_.getString(0)).toSeq
+        .collect().map(_.getString(0)).toSeq)
     val isSkewed = if (skewedKeys.isEmpty) lit(false)
     else col(keyCol).cast("string").isin(skewedKeys: _*)
 
@@ -76,8 +86,20 @@ object AsOfJoin {
     // point-in-time window layer). EnsureRequirements still inserts the
     // exchanges needed to make each side key-clustered, so semantics are
     // identical either way.
+    //
+    // Skewed keys force the BUILT-IN union: salting only helps if the
+    // window's ClusteredDistribution(__k, __salt) actually materializes as a
+    // (key, salt) exchange, and any partitioning on __k alone satisfies that
+    // distribution by the subset rule — so above the key-partitioned custom
+    // union NO exchange is inserted and every salt of a hot key would land
+    // in one task's sort, silently un-doing the mitigation. The built-in
+    // union reports UnknownPartitioning, which guarantees the (__k, __salt)
+    // exchange that spreads each hot key across `salts` partitions. The
+    // shuffle-elimination fast path and the skew path are mutually
+    // exclusive by construction.
     val unioned: DataFrame =
-      if (!forceBuiltinUnion && graft.plans.CoPartitionedUnion.available(spark)) {
+      if (!forceBuiltinUnion && skewedKeys.isEmpty &&
+          graft.plans.CoPartitionedUnion.available(spark)) {
         val lp = lFrame.queryExecution.analyzed
         val rp = rFrame.queryExecution.analyzed
         require(lp.output.map(_.name) == rp.output.map(_.name),

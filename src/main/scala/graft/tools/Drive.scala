@@ -216,6 +216,38 @@ object Drive {
       val t3 = System.nanoTime()
       println(f"NJOBS_EQ=${s1 == s5} sel=${s1.mkString(",")} seq=${(t2 - t1) / 1e9}%.2fs par=${(t3 - t2) / 1e9}%.2fs")
     }
+    // round 3: IVF mega-cluster cap — degenerate corpus (everything one
+    // cluster), tiny cap: pairs must be the linear hub star, not C(n,2)
+    {
+      import spark.implicits._
+      import graft.pipeline.Similarity
+      val deg = (0 until 50).map(i => (i.toLong, Seq.fill(8)(1.0f + i * 1e-4f))).toDF("vec_id", "embedding")
+      val c1 = Similarity.trainCentroidsFromSample(Array(Array.fill(8)(1.0)), 1)
+      val capped = Similarity.ivfNearDupPairs(deg, "vec_id", "embedding", c1,
+        threshold = 0.9, nProbe = 1, maxClusterSize = 8)
+      println("IVF_CAPPED_PAIRS=" + capped.count() + " (expect 49 hub pairs, not 1225)")
+      println("IVF_CAPPED_EMPTY=" + Similarity.ivfNearDupPairs(deg.limit(0), "vec_id", "embedding",
+        c1, 0.9, nProbe = 1).count())
+      println("SUGGEST_NCENTROIDS(1e8)=" + Similarity.suggestNCentroids(100000000L))
+    }
+    // round 3: as-of with caller-supplied skew keys — no pre-scan job, and
+    // the salted path must NOT plan the custom union (salt spreading)
+    {
+      import graft.time.AsOfJoin
+      val sess = f.groupBy(col("conv_id"), col("session_id"))
+        .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"))
+      val lhs = f.select("conv_id", "turn_idx", "ts")
+      val plain = AsOfJoin.asof(lhs, sess, "conv_id", "ts", Seq("session_len"), skewKeys = Some(Nil))
+      val salted = AsOfJoin.asof(lhs, sess, "conv_id", "ts", Seq("session_len"),
+        skewKeys = Some(Seq(f.select("conv_id").first().getString(0))))
+      val auto = AsOfJoin.asof(lhs, sess, "conv_id", "ts", Seq("session_len"))
+      println("ASOF_SKEWKEYS plain=" + plain.count() + " salted=" + salted.count() +
+        " auto=" + auto.count() + " (all equal expected)")
+      println("PLAIN_USES_CUSTOM_UNION=" +
+        plain.queryExecution.executedPlan.toString.contains("CoPartitionedUnion") +
+        " SALTED_USES_BUILTIN=" +
+        !salted.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"))
+    }
     // round 2b: sub-second as-of table reads (millis-precision fallback)
     {
       import spark.implicits._

@@ -77,6 +77,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf near-dup pairs: mega cluster emits a linear hub-star, small clusters full pairs") {
+    // cluster A: 40 near-identical vectors (ids 0..39) — degenerate
+    // boilerplate cluster, far over the cap; cluster B: 5 members (100..104)
+    val rng = new scala.util.Random(7)
+    val cA = Array.fill(8)(rng.nextGaussian())
+    val cB = Array.fill(8)(rng.nextGaussian())
+    val mk = (c: Array[Double], eps: Double) => c.map(x => (x + rng.nextGaussian() * eps).toFloat).toSeq
+    val data = (0 until 40).map(i => (i.toLong, mk(cA, 0.001))) ++
+      (100 until 105).map(i => (i.toLong, mk(cB, 0.001)))
+    val df = data.toDF("vec_id", "embedding").repartition(4)
+    val cents = Similarity.trainCentroidsFromSample(
+      Array(cA, cB).map(v => { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }), 2, iters = 1)
+    val pairs = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
+      threshold = 0.99, nProbe = 1, maxClusterSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mega cluster: exactly the 39 hub pairs (0,i); NO non-hub pair
+    assert(pairs.count(_._1 == 0L) == 39, s"hub pairs: ${pairs.count(_._1 == 0L)}")
+    assert(!pairs.exists(p => p._1 > 0L && p._2 < 100L), "non-hub pair leaked from a capped cluster")
+    // small cluster under the cap keeps full pairwise coverage: C(5,2)
+    assert(pairs.count(_._1 >= 100L) == 10, s"small-cluster pairs: ${pairs.count(_._1 >= 100L)}")
+  }
+
+  test("ivf near-dup pairs unchanged when no cluster exceeds the cap") {
+    val rng = new scala.util.Random(9)
+    val centers = Array.fill(4)(Array.fill(8)(rng.nextGaussian()))
+    val data = (0 until 80).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(4).cache()
+    val cents = Similarity.trainCentroids(df, "embedding", nCentroids = 4, sampleSize = 80)
+    def run(cap: Int) = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
+      threshold = 0.9, nProbe = 1, maxClusterSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(4096) == run(1000000), "capped path changed results below the cap")
+    assert(Similarity.suggestNCentroids(1000000L) == 1000)
+    assert(Similarity.suggestNCentroids(10L) == 16)
+  }
+
   test("ivf knn has high recall vs brute force on clustered data") {
     // the driver-provided embeddings are isotropic random (no cluster
     // structure -> IVF recall is capped by scanned fraction there); build

@@ -65,6 +65,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).isNullAt(0) && got(1).getDouble(0) == 7.0)
   }
 
+  test("caller-supplied skew keys skip the pre-scan and match the oracle") {
+    val rng = new scala.util.Random(21)
+    // k0 is hot (1500 rows), the rest are light
+    val left = ((0 until 1500).map(_ => ("k0", ts(rng.nextInt(100000).toLong))) ++
+      (0 until 300).map(_ => (s"k${1 + rng.nextInt(4)}", ts(rng.nextInt(100000).toLong)))).toDF("k", "ts")
+    val right = (0 until 120).map(i =>
+      (s"k${rng.nextInt(5)}", ts(rng.nextInt(100000).toLong), i.toDouble)).toDF("k", "ts", "v")
+    val exp = oracle(left, right, "v")
+      .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    for (sk <- Seq(Some(Seq("k0")), Some(Seq.empty[String]), None)) {
+      val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+        skewThreshold = 100L, salts = 4, skewKeys = sk)
+        .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+      assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0, s"skewKeys=$sk")
+    }
+  }
+
+  test("skew salting forces the built-in union so hot keys spread across salts") {
+    val left = (0 until 400).map(i => ("hot", ts(i.toLong))).toDF("k", "ts")
+    val right = Seq(("hot", ts(10), 1.0)).toDF("k", "ts", "v")
+    // salted path: the custom union must NOT be planned (its key-only
+    // partitioning would satisfy the window's (key, salt) distribution by
+    // the subset rule and collapse all salts of a hot key into one task)
+    val salted = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), skewKeys = Some(Seq("hot")))
+    assert(!salted.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"),
+      "custom union planned on the salted path")
+    assert(salted.count() == 400)
+    // unsalted path keeps the shuffle-eliminating custom union
+    val plain = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), skewKeys = Some(Nil))
+    assert(plain.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"))
+  }
+
   test("CoPartitionedUnion and built-in union formulations agree exactly") {
     // TestSpark carries GraftExtensions, so the default path plans the
     // custom union; the forced built-in path covers extension-less sessions
