@@ -113,16 +113,26 @@ object Bench {
       df.select(xxhash64(cols: _*).as("__h"))
         .agg(count(lit(1)).as("n"), sum(col("__h").cast("double"))).collect()(0).getLong(0)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 3).map { _ =>
-        timed { try { forceAll(fn(spark, sfDir)) } catch { case _: Throwable => -1L } }._2
-      }.sorted
-      name -> secs(1)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec
+    // a failing query must surface as an ERROR, not a (fast-looking)
+    // timing: each query reports either its median seconds or an "errors"
+    // entry, and errored queries are excluded from the total
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val attempts = (1 to 3).map { _ =>
+          try Right(timed(forceAll(fn(spark, sfDir)))._2)
+          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+        }
+        val oks = attempts.collect { case Right(s) => s }.sorted
+        name -> (if (oks.size == attempts.size) Right(oks(oks.size / 2))
+                 else Left(attempts.collectFirst { case Left(m) => m }.get))
+      }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("\\p{Cntrl}", " ") + "\""
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => "\"" + k + "\":" + jstr(m) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum + pipeSec
     println(
-      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

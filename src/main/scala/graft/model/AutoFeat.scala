@@ -59,7 +59,12 @@ final case class AutoFeatModel(
       * at transform time like the reference's _apply_pi_theorem
       * (autofeat.py:458-460).
       */
-    piGroups: Seq[(String, Seq[(String, Double)])] = Nil
+    piGroups: Seq[(String, Seq[(String, Double)])] = Nil,
+    /** Column list of the fitted transform output, in order, without the
+      * target (reference `all_columns_`, autofeat.py:386): the `_X2df`
+      * already-transformed test is exact LIST equality against this.
+      */
+    allColumns: Seq[String] = Nil
 ) {
 
   /** Reference transform (autofeat.py:436-467): one-hot is REFIT on the new
@@ -82,11 +87,16 @@ final case class AutoFeatModel(
       terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
   }
 
-  /** _X2df parity (autofeat.py:244-268): a frame already carrying every
-    * selected column is used as-is; otherwise it is auto-transformed.
+  /** _X2df parity (autofeat.py:244-268): the frame is used as-is ONLY when
+    * its column list equals the fitted output columns exactly (order
+    * included — reference `list(df.columns) != self.all_columns_`);
+    * anything else is auto-transformed. A mere superset of `goodCols` is
+    * NOT enough: a raw frame whose columns coincidentally carry
+    * selected-feature names (e.g. a stale engineered column) must be
+    * re-derived, matching reference predict/score behavior.
     */
-  private def ensureTransformed(df: DataFrame): DataFrame =
-    if (goodCols.forall(df.columns.contains)) df else transform(df).df
+  private def ensureTransformed(df: DataFrame, ignore: Option[String] = None): DataFrame =
+    if (df.columns.toSeq.filterNot(ignore.contains) == allColumns) df else transform(df).df
 
   def predict(df: DataFrame): DataFrame =
     ensureTransformed(df).withColumn("prediction", predictCol)
@@ -97,14 +107,23 @@ final case class AutoFeatModel(
   }
 
   /** R² (regression) or accuracy (classification) on a frame with the target.
-    * Accepts an already-transformed frame (every goodCol present) as-is.
+    * An already-transformed frame — columns equal to the fitted output
+    * (modulo the target column, which the reference passes separately) — is
+    * used as-is; anything else is re-derived like reference score
+    * (autofeat.py:480-504: exact list equality, then transform). The inline
+    * regeneration keeps the target column alongside the features.
     */
   def score(df: DataFrame, targetCol: String): Double = {
     val full =
-      if (goodCols.forall(df.columns.contains)) df
-      else AutoFeat.generateFeatures(
-        AutoFeat.addPiColumns(AutoFeat.transformCategoricalCols(df, categoricalCols)._1, piGroups),
-        newFeatCols, formulas, symToCol)
+      if (df.columns.toSeq.filterNot(_ == targetCol) == allColumns) df
+      else {
+        val inCols = df.columns.toSeq.filter(originalColumns.contains)
+        require(inCols == originalColumns,
+          s"[AutoFeat] Not the same features as when calling fit: $inCols vs $originalColumns")
+        AutoFeat.generateFeatures(
+          AutoFeat.addPiColumns(AutoFeat.transformCategoricalCols(df, categoricalCols)._1, piGroups),
+          newFeatCols, formulas, symToCol)
+      }
     val y = AutoFeat.q(targetCol).cast("double")
     classifier match {
       case Some(_) =>
@@ -132,7 +151,7 @@ final case class AutoFeatModel(
     }.mkString("[", ",", "]")
     s"""{"originalColumns":${arr(originalColumns)},"categoricalCols":${arr(categoricalCols)},
        |"feategCols":${arr(feategCols)},"symToCol":$s2c,"newFeatCols":${arr(newFeatCols)},
-       |"formulas":$fj,"goodCols":${arr(goodCols)},"piGroups":$pj,
+       |"formulas":$fj,"goodCols":${arr(goodCols)},"piGroups":$pj,"allColumns":${arr(allColumns)},
        |"coef":[${model.coef.mkString(",")}],"intercept":${model.intercept},"alpha":${model.alpha}}""".stripMargin
   }
 }
@@ -270,9 +289,13 @@ object AutoFeat {
 
     val (oneHot, catMap) = transformCategoricalCols(df0, cfg.categoricalCols)
     val feategCols: Seq[String] =
-      if (cfg.feategCols.nonEmpty)
+      if (cfg.feategCols.nonEmpty) {
+        // reference autofeat.py:303-307: every feateng_col must name an
+        // ORIGINAL column (categoricals expand through their one-hot map)
+        cfg.feategCols.foreach(c => require(originalColumns.contains(c),
+          s"[AutoFeat] feateng_col $c not in df.columns"))
         cfg.feategCols.flatMap(c => catMap.getOrElse(c, Seq(c)))
-      else oneHot.columns.toSeq.filter(_ != targetCol)
+      } else oneHot.columns.toSeq.filter(_ != targetCol)
 
     // units + Buckingham-pi (autofeat.py:315-320): parse units for exactly
     // the feateng columns (missing -> dimensionless), add PT group columns
@@ -307,20 +330,26 @@ object AutoFeat {
       case _ => withPi
     }
 
-    // synthesis on the (sub)sampled frame (target + PT columns pass through)
+    // synthesis on the (sub)sampled frame. Pass-through: target, PT columns,
+    // AND originals excluded from synthesis by feateng_cols — the reference
+    // keeps them df-resident (autofeat.py:346-356), so they still compete
+    // in selection even though no formula may be built from them.
+    val baseFeats = oneHot.columns.toSeq.filter(_ != targetCol)
+    val nonEngFeats = baseFeats.filterNot(feategCols.contains)
     val eng = new FeatEng(FeatEngConfig(maxSteps = cfg.feategSteps,
       transformations = cfg.transformations, units = unitDims))
-      .engineerFeatures(dfSubs, feategCols, passThrough = targetCol +: ptNames)
+      .engineerFeatures(dfSubs, feategCols, passThrough = targetCol +: (ptNames ++ nonEngFeats))
     val symToCol = feategCols.zipWithIndex.map { case (c, i) => F.colToSymbol(c, i) -> c }.toMap
 
     // selection: classification uses the balanced L1-logistic quadratic
     // (working response + class weights, see FeatSel/LogisticLasso);
     // regression the CV Lasso — both one weighted-Gram pass per fit group
-    // candidate order mirrors the reference frame layout: originals, PT
-    // columns, then engineered features (selection vote order is index-based)
-    val candidateCols = feategCols ++ ptNames ++ eng.newCols
+    // candidate order mirrors the reference frame layout: ALL originals
+    // (frame order), PT columns, then engineered features (selection vote
+    // order is index-based)
+    val candidateCols = baseFeats ++ ptNames ++ eng.newCols
     val goodCols: Seq[String] =
-      if (cfg.featselRuns <= 0) eng.columns
+      if (cfg.featselRuns <= 0) candidateCols
       else {
         val picked = FeatSel.selectFeatures(eng.df, candidateCols, targetCol,
           FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed,
@@ -337,11 +366,16 @@ object AutoFeat {
 
     // final model on the full frame: CV lasso (regression) or distributed
     // Newton-IRLS logistic with balanced class weights (classification)
+    // fitted output column list (reference all_columns_, autofeat.py:386):
+    // the fit frame's columns without the target — transform reproduces
+    // exactly this list, and _X2df tests list equality against it
+    val allColumns = fullDf.columns.toSeq.filterNot(_ == targetCol)
     val model = if (cfg.problemType == "classification") {
       val lm = graft.select.Logistic.fit(fullDf, goodCols, targetCol)
       AutoFeatModel(
         originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
-        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm), piGroups)
+        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm), piGroups,
+        allColumns)
     } else {
       val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
       val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)
@@ -349,7 +383,7 @@ object AutoFeat {
       AutoFeatModel(
         originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
         formulas, goodCols, LinearModel(goodCols, fit.coef, fit.intercept, fit.alpha),
-        piGroups = piGroups)
+        piGroups = piGroups, allColumns = allColumns)
     }
     (fullDf, model)
   }

@@ -67,15 +67,37 @@ object FeatSel {
   /** Adds row-shuffled copies of `cols` named `__shuf_i`: ONE global random
     * permutation applied to the whole feature-row vector (see the deviation
     * note above — per-column marginals preserved, X→y link broken).
+    *
+    * Physical shape: ONE seeded-hash repartition (rows land in a
+    * pseudo-random partition, so the permutation mixes across the input
+    * layout) + a deterministic partition-local Fisher–Yates pairing rows
+    * with each other's feature blocks. Composing random placement with a
+    * within-partition permutation IS a global row permutation — replacing
+    * the previous boxed-Row `zipWithIndex` + global `orderBy(rand)` +
+    * RDD-join formulation (three shuffles) with one shuffle and one
+    * mapPartitions. `sortWithinPartitions` on the placement key pins the
+    * pairing against shuffle-fetch arrival order, so results are
+    * reproducible run-to-run (the nJobs determinism contract).
     */
   private[select] def withShuffledCopy(df: DataFrame, cols: Seq[String], seed: Long): DataFrame = {
-    val spark = df.sparkSession
-    val left = df.rdd.zipWithIndex().map(_.swap)
-    val right = df.select(cols.map(q): _*).orderBy(rand(seed)).rdd.zipWithIndex().map(_.swap)
-    val joined = left.join(right).map { case (_, (a, b)) => Row.fromSeq(a.toSeq ++ b.toSeq) }
     val schema = StructType(df.schema.fields ++
       cols.indices.map(i => StructField(s"__shuf_$i", DoubleType)))
-    spark.createDataFrame(joined, schema)
+    val colIdx = cols.map(df.schema.fieldIndex).toArray
+    val key = xxhash64(df.columns.map(q) :+ lit(seed): _*)
+    df.withColumn("__srk", key)
+      .repartition(col("__srk"))
+      .sortWithinPartitions(col("__srk"))
+      .drop("__srk")
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val rnd = new scala.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val perm = rnd.shuffle(rows.indices.toVector)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          val src = rows(perm(i))
+          Row.fromSeq(r.toSeq ++ colIdx.map(j => src.get(j)))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** One selection run's fit universe: index layout over

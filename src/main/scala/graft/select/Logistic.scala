@@ -31,7 +31,8 @@ object Logistic {
     val data = df.select((labelCol +: featureCols)
       .map(c => col(s"`${c.replace("`", "``")}`").cast("double")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = data.agg(count(lit(1)), sum(col(labelCol).cast("double"))).collect()(0)
+    val counts = data.agg(count(lit(1)),
+      sum(col(s"`${labelCol.replace("`", "``")}`").cast("double"))).collect()(0)
     val n = counts.getLong(0).toDouble
     val nPos = counts.getDouble(1)
     val (w0, w1) =

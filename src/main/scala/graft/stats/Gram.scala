@@ -131,10 +131,14 @@ object Gram {
               foldCol: Option[String] = None, k: Int = 1,
               weightCol: Option[String] = None): Array[Gram] = {
     val d = featureCols.size
-    val cols = foldCol.map(col(_).cast("int")).toSeq ++
-      weightCol.map(col(_).cast("double")).toSeq ++
-      targetCol.map(col(_).cast("double")).toSeq ++
-      featureCols.map(c => col(c).cast("double"))
+    // backtick-quote: feature names carry arbitrary user text (dots, spaces)
+    // and engineered-formula punctuation — bare col() would parse dots as
+    // struct access
+    def q(c: String) = col(s"`${c.replace("`", "``")}`")
+    val cols = foldCol.map(q(_).cast("int")).toSeq ++
+      weightCol.map(q(_).cast("double")).toSeq ++
+      targetCol.map(q(_).cast("double")).toSeq ++
+      featureCols.map(c => q(c).cast("double"))
     val hasY = targetCol.isDefined
     val hasFold = foldCol.isDefined
     val hasW = weightCol.isDefined

@@ -248,6 +248,28 @@ object Drive {
         " SALTED_USES_BUILTIN=" +
         !salted.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"))
     }
+    // round 3: FeatureSelector shell + weird column names through the
+    // public fit/score path (quoting regression probes)
+    {
+      import spark.implicits._
+      import graft.select.FeatureSelector
+      val rng = new scala.util.Random(13)
+      val fsDf = Seq.fill(800) {
+        val c = Array.fill(5)(rng.nextGaussian())
+        (c(0), c(1), c(2), c(3), c(4), 2.0 * c(1) - 3.0 * c(3) + rng.nextGaussian() * 0.05)
+      }.toDF("f 0.0", "f1", "f/2", "f3", "f4", "y")
+      val (sel, fsm) = FeatureSelector.fitTransform(fsDf, "y")
+      println("FEATSEL_SHELL=" + fsm.goodCols.mkString(",") + " outCols=" + sel.columns.mkString(","))
+      val err = try { fsm.transform(fsDf.drop("f1")); "NO ERROR (bad)" }
+                catch { case e: IllegalArgumentException => "errored as expected" }
+      println("FEATSEL_MISMATCH=" + err)
+      import graft.model.{AutoFeat, AutoFeatConfig}
+      val weirdIn = fsDf.select(col("`f 0.0`"), col("f1"), col("f3"), col("y"))
+      val (outW, mW) = AutoFeat.fitTransform(
+        weirdIn, "y", AutoFeatConfig(feategSteps = 1, featselRuns = 1))
+      println("WEIRD_FIT_COLS=" + outW.columns.take(4).mkString(",") +
+        " R2=" + mW.score(weirdIn, "y"))
+    }
     // round 2b: sub-second as-of table reads (millis-precision fallback)
     {
       import spark.implicits._

@@ -93,6 +93,51 @@ class AutoFeatSpec extends SparkSpec {
     assert(r2 >= 0.999, s"R² = $r2")
   }
 
+  test("weird column names survive fit/score; mismatch errors (test_autofeat.py:49-62)") {
+    val weird = df.withColumnRenamed("x1", "x 1.1")
+      .withColumnRenamed("x2", "2").withColumnRenamed("x3", "x/3")
+    val (out, model) = AutoFeat.fitTransform(weird, "target",
+      AutoFeatConfig(feategSteps = 3, nJobs = 5))
+    assert(out.columns.take(3).toSeq == Seq("x 1.1", "2", "x/3"), "wrong column names")
+    val r2 = model.score(weird, "target")
+    info(s"weird-name r2=$r2 selected=${model.goodCols.mkString(", ")}")
+    assert(r2 >= 0.999, s"R² = $r2")
+    // transformed output scores identically (exact all_columns_ equality path)
+    assert(model.score(out, "target") >= 0.999)
+    // error when the column names aren't the same as before
+    intercept[IllegalArgumentException] {
+      model.score(weird.withColumnRenamed("x 1.1", "x 11"), "target")
+    }
+  }
+
+  test("feateng_cols scoping: missing col errors; names never mention excluded cols (test_autofeat.py:90-102)") {
+    intercept[IllegalArgumentException] {
+      AutoFeat.fitTransform(df, "target",
+        AutoFeatConfig(feategCols = Seq("x1", "x3", "x4"), feategSteps = 1, featselRuns = 1))
+    }
+    val (out, model) = AutoFeat.fitTransform(df, "target",
+      AutoFeatConfig(feategCols = Seq("x1", "x3"), feategSteps = 3, nJobs = 5))
+    val engineered = out.columns.drop(4) // x1, x2, x3, target, then engineered
+    assert(engineered.nonEmpty)
+    engineered.foreach(c => assert(!c.contains("x2"), s"engineered name '$c' mentions excluded x2"))
+    model.formulas.keys.foreach(c => assert(!c.contains("x2"), s"formula '$c' mentions excluded x2"))
+  }
+
+  test("_X2df: a raw frame with a stale engineered-name column is re-derived, not trusted") {
+    val (_, model) = AutoFeat.fitTransform(df, "target", AutoFeatConfig(feategSteps = 2, featselRuns = 2))
+    if (model.newFeatCols.nonEmpty) {
+      val stale = model.newFeatCols.head
+      // raw frame that HAPPENS to carry a column named like a selected
+      // feature, holding garbage — subset containment would use it as-is
+      val poisoned = df.drop("target").withColumn(stale, lit(-999.0))
+      val clean = model.predict(df.drop("target")).select("prediction")
+        .collect().map(_.getDouble(0))
+      val got = model.predict(poisoned).select("prediction")
+        .collect().map(_.getDouble(0))
+      assert(got.toSeq == clean.toSeq, "stale column was trusted instead of re-derived")
+    }
+  }
+
   test("model JSON roundtrips formulas") {
     import graft.expr.{ExprJson, F, Var}
     val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))

@@ -49,6 +49,26 @@ class FeatSelSpec extends SparkSpec {
     assert(good.take(2) == Seq("c1", "c4")) // keep first
   }
 
+  test("FeatureSelector shell: fit/transform roundtrip + column-mismatch error (featsel.py:289-394)") {
+    val dfX = df.select((cols :+ "target").map(col): _*)
+    val (out, model) = FeatureSelector.fitTransform(dfX, "target")
+    assert(model.originalColumns == cols)
+    assert(model.goodCols.toSet == Set("c0", "c5", "c6"))
+    assert(out.columns.toSeq == model.goodCols)
+    assert(out.count() == dfX.count())
+    // fresh frame with the same columns transforms fine
+    assert(model.transform(df.select(cols.map(col): _*)).columns.toSeq == model.goodCols)
+    // column mismatch (renamed / reordered / missing) must error like the
+    // reference's featsel.py:374-375
+    val e = intercept[IllegalArgumentException] {
+      model.transform(df.select(cols.map(col): _*).withColumnRenamed("c1", "z1"))
+    }
+    assert(e.getMessage.contains("Not the same features as when calling fit"))
+    intercept[IllegalArgumentException] {
+      model.transform(df.select(cols.reverse.map(col): _*))
+    }
+  }
+
   test("concurrent runs (nJobs) select the identical set in the same order") {
     // per-run randomness is derived from the run index alone, so overlapping
     // the runs on driver threads must not change the outcome
