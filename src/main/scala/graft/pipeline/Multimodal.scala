@@ -27,11 +27,27 @@ object Multimodal {
     )))
   ))
 
+  /** Codec seam: every per-media operation the plumbing needs. Implemented
+    * by [[StubCodec]] (deterministic fake — the default in this codec-less
+    * container) and by the REAL pure-JVM decoders [[PnmCodec]] (binary
+    * PGM/PPM images) and [[WavCodec]] (RIFF/WAVE 16-bit PCM audio), which
+    * prove the batched mapPartitions seam against genuine bytes. A JNI or
+    * Python-worker codec plugs in the same way. Implementations must be
+    * serializable (shipped inside task closures) and total: undecodable
+    * bytes yield the zero vector / empty output, never a throw (one corrupt
+    * blob must not kill a 10^12-row job).
+    */
+  trait MediaCodec extends Serializable {
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float]
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
   /** Deterministic stand-in for a real decoder: features are a seeded hash
     * expansion of the payload; "resize" rescales the fake thumbnail grid;
     * "frame sample" slices the payload into n pseudo-frames.
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
       if (bytes == null) return Array.fill(dim)(0f)
       val out = new Array[Float](dim)
@@ -64,11 +80,232 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder: binary PGM (`P5`) / PPM (`P6`) — the classic
+    * netpbm formats (magic, whitespace/comment-separated width height
+    * maxval header, then raw samples). Pure JVM, no libraries.
+    *
+    * - `decodeFeatures`: normalized `dim`-bin luminance histogram of the
+    *   ACTUAL pixels (PPM luminance = (r+g+b)/3), so equal images give
+    *   equal features and brightness shifts move mass across bins.
+    * - `resize`: nearest-neighbor resample re-encoded as binary PGM.
+    * - `sampleFrames`: `n` horizontal bands, each a standalone PGM.
+    * Undecodable bytes -> zeros / empty, per the MediaCodec contract.
+    */
+  object PnmCodec extends MediaCodec {
+    /** (isColor, width, height, maxval, pixelDataOffset), or null. */
+    private def header(b: Array[Byte]): Array[Int] = {
+      if (b == null || b.length < 10 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return null
+      var i = 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3) {
+        // skip whitespace and '#' comment lines
+        var guard = true
+        while (guard && i < b.length) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (b(i).toChar.isWhitespace) i += 1
+          else guard = false
+        }
+        var x = 0; var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') { x = x * 10 + (b(i) - '0'); i += 1; any = true }
+        if (!any) return null
+        vals(v) = x
+        v += 1
+      }
+      if (i >= b.length || !b(i).toChar.isWhitespace) return null
+      i += 1 // single whitespace after maxval, then raw data
+      val (w, h, maxv) = (vals(0), vals(1), vals(2))
+      val chans = if (b(1) == '6') 3 else 1
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return null
+      if (b.length - i < w.toLong * h * chans) return null
+      Array(if (chans == 3) 1 else 0, w, h, maxv, i)
+    }
+
+    /** Luminance grid (h rows of w ints 0..maxval), or null. */
+    private def lum(b: Array[Byte]): (Array[Int], Int, Int, Int) = {
+      val hd = header(b)
+      if (hd == null) return null
+      val Array(color, w, h, maxv, off) = hd
+      val out = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        if (color == 1) {
+          val o = off + 3 * p
+          out(p) = ((b(o) & 0xFF) + (b(o + 1) & 0xFF) + (b(o + 2) & 0xFF)) / 3
+        } else out(p) = b(off + p) & 0xFF
+        p += 1
+      }
+      (out, w, h, maxv)
+    }
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val d = lum(bytes)
+      if (d == null) return new Array[Float](dim)
+      val (px, _, _, maxv) = d
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < px.length) {
+        val bin = math.min(dim - 1, px(i) * dim / (maxv + 1))
+        hist(bin) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { hist(j) /= px.length; j += 1 }
+      hist
+    }
+
+    private def encodePgm(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val hd = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](hd.length + px.length)
+      System.arraycopy(hd, 0, out, 0, hd.length)
+      var i = 0
+      while (i < px.length) { out(hd.length + i) = px(i).toByte; i += 1 }
+      out
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val d = lum(bytes)
+      if (d == null) return Array.empty
+      val (px, sw, sh, maxv) = d
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(sh - 1, y * sh / h)
+        var x = 0
+        while (x < w) {
+          val sx = math.min(sw - 1, x * sw / w)
+          out(y * w + x) = px(sy * sw + sx) * 255 / maxv
+          x += 1
+        }
+        y += 1
+      }
+      encodePgm(out, w, h)
+    }
+
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val d = lum(bytes)
+      if (d == null) return Seq.empty
+      val (px, w, h, maxv) = d
+      (0 until n).map { i =>
+        val y0 = i * h / n
+        val y1 = math.max(y0 + 1, (i + 1) * h / n)
+        encodePgm(px.slice(y0 * w, y1 * w).map(_ * 255 / maxv), w, y1 - y0)
+      }
+    }
+  }
+
+  /** Real audio decoder: RIFF/WAVE, PCM 16-bit little-endian (format 1).
+    * `decodeFeatures` = per-segment RMS energies over `dim` equal time
+    * slices of channel-averaged samples (a real, order-sensitive audio
+    * descriptor); `resize`/`sampleFrames` re-slice raw sample windows as
+    * standalone mono WAVs. Undecodable -> zeros / empty.
+    */
+  object WavCodec extends MediaCodec {
+    private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    /** (samples channel-averaged, sampleRate), or null. */
+    private def pcm(b: Array[Byte]): (Array[Double], Int) = {
+      if (b == null || b.length < 44) return null
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+      var off = 12
+      var fmtCh = 0; var rate = 0; var bits = 0
+      var data: (Int, Int) = null
+      while (off + 8 <= b.length && (fmtCh == 0 || data == null)) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val sz = le32(b, off + 4)
+        if (sz < 0 || off + 8 + sz > b.length) return null
+        if (id == "fmt ") {
+          if (le16(b, off + 8) != 1) return null // PCM only
+          fmtCh = le16(b, off + 10)
+          rate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+        } else if (id == "data") data = (off + 8, sz)
+        off += 8 + sz + (sz & 1)
+      }
+      if (fmtCh <= 0 || bits != 16 || data == null) return null
+      val (dOff, dSz) = data
+      val n = dSz / (2 * fmtCh)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        var c = 0
+        while (c < fmtCh) {
+          s += le16(b, dOff + 2 * (i * fmtCh + c)).toShort.toDouble
+          c += 1
+        }
+        out(i) = s / fmtCh / 32768.0
+        i += 1
+      }
+      (out, rate)
+    }
+
+    private def encodeWav(samples: Array[Double], rate: Int): Array[Byte] = {
+      val n = samples.length
+      val out = new Array[Byte](44 + 2 * n)
+      def put(s: String, o: Int): Unit = { val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, a.length) }
+      def p32(v: Int, o: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte }
+      def p16(v: Int, o: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      put("RIFF", 0); p32(36 + 2 * n, 4); put("WAVE", 8)
+      put("fmt ", 12); p32(16, 16); p16(1, 20); p16(1, 22); p32(rate, 24)
+      p32(rate * 2, 28); p16(2, 32); p16(16, 34)
+      put("data", 36); p32(2 * n, 40)
+      var i = 0
+      while (i < n) {
+        p16(math.max(-32768, math.min(32767, math.round(samples(i) * 32767).toInt)), 44 + 2 * i)
+        i += 1
+      }
+      out
+    }
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val d = pcm(bytes)
+      if (d == null || d._1.isEmpty) return new Array[Float](dim)
+      val (s, _) = d
+      val out = new Array[Float](dim)
+      var seg = 0
+      while (seg < dim) {
+        val a = seg * s.length / dim
+        val b2 = math.max(a + 1, (seg + 1) * s.length / dim)
+        var acc = 0.0
+        var i = a
+        while (i < b2) { acc += s(i) * s(i); i += 1 }
+        out(seg) = math.sqrt(acc / (b2 - a)).toFloat
+        seg += 1
+      }
+      out
+    }
+
+    /** "resize" for audio = resample to w*h total samples (grid flattened). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val d = pcm(bytes)
+      if (d == null || d._1.isEmpty) return Array.empty
+      val (s, rate) = d
+      val n = math.max(1, w * h)
+      encodeWav(Array.tabulate(n)(i => s(math.min(s.length - 1, i * s.length / n))), rate)
+    }
+
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val d = pcm(bytes)
+      if (d == null || d._1.isEmpty) return Seq.empty
+      val (s, rate) = d
+      (0 until n).map { i =>
+        val a = i * s.length / n
+        val b2 = math.max(a + 1, (i + 1) * s.length / n)
+        encodeWav(s.slice(a, b2), rate)
+      }
+    }
+  }
+
   /** media frame -> embedding column via batched per-partition decode.
     * Batches amortize (future) codec-worker startup exactly like
     * mapInPandas' Arrow batches would.
     */
-  def decodeToEmbedding(df: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
+  def decodeToEmbedding(df: DataFrame, dim: Int = 16, batchSize: Int = 256,
+                        codec: MediaCodec = StubCodec): DataFrame = {
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema.add(StructField("embedding", ArrayType(FloatType)))
     // Dataset.mapPartitions (not df.rdd + createDataFrame): the decode stays
@@ -76,9 +313,9 @@ object Multimodal {
     // instead of an opaque RDD scan stitched onto a fresh root
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // (a real codec would decode the whole batch in one worker call)
+        // (a worker-process codec would decode the whole batch in one call)
         batch.map { r =>
-          val emb = StubCodec.decodeFeatures(r.getAs[Array[Byte]](mediaIdx), dim)
+          val emb = codec.decodeFeatures(r.getAs[Array[Byte]](mediaIdx), dim)
           Row.fromSeq(r.toSeq :+ emb.toSeq)
         }
       }
@@ -87,7 +324,7 @@ object Multimodal {
 
   /** Thumbnail + n-frame sample in one batched pass. */
   def extract(df: DataFrame, thumbW: Int = 8, thumbH: Int = 8, nFrames: Int = 4,
-              batchSize: Int = 256): DataFrame = {
+              batchSize: Int = 256, codec: MediaCodec = StubCodec): DataFrame = {
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema
       .add(StructField("thumbnail", BinaryType))
@@ -96,7 +333,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val b = r.getAs[Array[Byte]](mediaIdx)
-          Row.fromSeq(r.toSeq :+ StubCodec.resize(b, thumbW, thumbH) :+ StubCodec.sampleFrames(b, nFrames))
+          Row.fromSeq(r.toSeq :+ codec.resize(b, thumbW, thumbH) :+ codec.sampleFrames(b, nFrames))
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

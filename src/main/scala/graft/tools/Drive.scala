@@ -270,6 +270,22 @@ object Drive {
       println("WEIRD_FIT_COLS=" + outW.columns.take(4).mkString(",") +
         " R2=" + mW.score(weirdIn, "y"))
     }
+    // round 3: REAL pure-JVM media codecs through the batched decode seam
+    {
+      import org.apache.spark.sql.Row
+      import graft.pipeline.Multimodal
+      val img = ("P5\n4 2\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](0, 40, 80, 120, -96, -56, -16, -1)) // 0..255 ramp
+      val rows = Seq(Row(0L, img, Row("image/x-portable-graymap", 4, 2, 0L)),
+        Row(1L, "junk".getBytes, Row("image/x-portable-graymap", 0, 0, 0L)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+      val out = Multimodal.decodeToEmbedding(df, dim = 4, codec = Multimodal.PnmCodec)
+        .orderBy("media_id").select("embedding").collect().map(_.getSeq[Float](0))
+      println("PNM_DECODE=" + out(0).mkString(",") + " JUNK=" + out(1).mkString(","))
+      val thumb = Multimodal.extract(df.limit(1), 2, 2, 2, codec = Multimodal.PnmCodec)
+        .select("thumbnail").collect()(0).getAs[Array[Byte]](0)
+      println("PNM_THUMB_HDR=" + new String(thumb.take(2)) + " len=" + thumb.length)
+    }
     // round 2b: sub-second as-of table reads (millis-precision fallback)
     {
       import spark.implicits._

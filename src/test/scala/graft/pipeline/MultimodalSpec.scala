@@ -33,6 +33,68 @@ class MultimodalSpec extends SparkSpec {
     assert(x.forall(_.getSeq[Array[Byte]](1).size == 3))
   }
 
+  /** Build a real binary PGM (P5) gradient image. */
+  private def pgm(w: Int, h: Int): Array[Byte] = {
+    val hd = s"P5\n# test comment\n$w $h\n255\n".getBytes("US-ASCII")
+    hd ++ Array.tabulate(w * h)(i => ((i % w) * 255 / math.max(1, w - 1)).toByte)
+  }
+
+  /** Build a real 16-bit mono PCM WAV with a sine burst in the second half. */
+  private def wav(n: Int): Array[Byte] = {
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) 0.0 else 0.5 * math.sin(2 * math.Pi * i / 32.0))
+    val out = new java.io.ByteArrayOutputStream()
+    def p32(v: Int) = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+    def p16(v: Int) = (0 until 2).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+    out.write("RIFF".getBytes); p32(36 + 2 * n); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); p32(16); p16(1); p16(1); p32(8000); p32(16000); p16(2); p16(16)
+    out.write("data".getBytes); p32(2 * n)
+    samples.foreach(s => p16(math.round(s * 32767).toInt & 0xFFFF))
+    out.toByteArray
+  }
+
+  test("real PNM codec decodes actual pixels through the batched Spark seam") {
+    val img = pgm(16, 8)
+    val rows = (0L until 20L).map(i => Row(i, img, Row("image/x-portable-graymap", 16, 8, 0L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+    val got = Multimodal.decodeToEmbedding(df, dim = 8, codec = Multimodal.PnmCodec)
+      .orderBy("media_id").select("embedding").collect().map(_.getSeq[Float](0))
+    val direct = Multimodal.PnmCodec.decodeFeatures(img, 8).toSeq
+    assert(got.forall(_ == direct), "Spark-side decode differs from direct codec call")
+    // a uniform gradient: every luminance bin equally occupied
+    assert(direct.forall(v => math.abs(v - 0.125) < 1e-6), direct.toString)
+    // resize via the extract path produces a parseable PGM of the right size
+    val x = Multimodal.extract(df, thumbW = 4, thumbH = 4, nFrames = 2, codec = Multimodal.PnmCodec)
+      .select("thumbnail", "frames").collect()
+    assert(x.forall { r =>
+      val t = r.getAs[Array[Byte]](0)
+      new String(t.take(2)) == "P5" && t.length > 11 && r.getSeq[Array[Byte]](1).size == 2
+    })
+    // corrupt bytes: zero features, empty thumbnail — never a throw
+    val bad = Row(99L, "not an image".getBytes, Row("image/x-portable-graymap", 0, 0, 0L))
+    val badDf = spark.createDataFrame(spark.sparkContext.parallelize(Seq(bad), 1), Multimodal.mediaSchema)
+    val be = Multimodal.decodeToEmbedding(badDf, dim = 8, codec = Multimodal.PnmCodec)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    assert(be.forall(_ == 0f))
+  }
+
+  test("real WAV codec: silence-vs-signal energy profile survives the Spark seam") {
+    val audio = wav(256)
+    val rows = Seq(Row(0L, audio, Row("audio/wav", 0, 0, 32L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val e = Multimodal.decodeToEmbedding(df, dim = 4, codec = Multimodal.WavCodec)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    assert(e.size == 4)
+    // first half silent, second half energetic
+    assert(e(0) < 1e-4 && e(1) < 1e-4, e.toString)
+    assert(e(2) > 0.2 && e(3) > 0.2, e.toString)
+    assert(e == Multimodal.WavCodec.decodeFeatures(audio, 4).toSeq)
+    // frames are themselves decodable WAVs
+    val fr = Multimodal.WavCodec.sampleFrames(audio, 2)
+    assert(fr.size == 2 && fr.forall(f => Multimodal.WavCodec.decodeFeatures(f, 2).nonEmpty))
+    assert(Multimodal.WavCodec.decodeFeatures("garbage".getBytes, 4).forall(_ == 0f))
+  }
+
   test("decoded embeddings feed the similarity operators") {
     val e = Multimodal.decodeToEmbedding(media, dim = 16)
     val knn = Similarity.bruteForceKnn(e, e.filter(col("media_id") < 2), "media_id", "embedding", 3)
