@@ -40,7 +40,12 @@ final case class AutoFeatConfig(
       * overlaps the per-run Gram/CD jobs on driver threads; <= 0 means one
       * thread per run. Results are identical at any setting.
       */
-    nJobs: Int = 1
+    nJobs: Int = 1,
+    /** Proximal-Newton rounds per classification selection fit (see
+      * [[graft.select.FeatSel.Config.selectionNewtonRounds]]); 1 = the
+      * documented one-step surrogate deviation.
+      */
+    selectionNewtonRounds: Int = 1
 )
 
 final case class LinearModel(cols: Seq[String], coef: Array[Double], intercept: Double, alpha: Double)
@@ -353,7 +358,8 @@ object AutoFeat {
       else {
         val picked = FeatSel.selectFeatures(eng.df, candidateCols, targetCol,
           FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed,
-            problemType = cfg.problemType, nJobs = cfg.nJobs))
+            problemType = cfg.problemType, nJobs = cfg.nJobs,
+            selectionNewtonRounds = cfg.selectionNewtonRounds))
         if (picked.isEmpty) withPi.columns.toSeq.filter(_ != targetCol) else picked
       }
     val baseCols = withPi.columns.toSeq.filter(_ != targetCol)

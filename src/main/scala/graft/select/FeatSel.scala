@@ -38,7 +38,18 @@ object FeatSel {
       problemType: String = "regression",
       folds: Int = 5,
       seed: Long = 0L,
-      nJobs: Int = 1
+      nJobs: Int = 1,
+      /** Proximal-Newton rounds per CLASSIFICATION selection fit. 1 (the
+        * default) = the documented one-step surrogate: every fit solves the
+        * L1 quadratic expanded around beta = 0 (z = 4y - 2, class weights),
+        * costing one precomputed Gram pass per run. Values 2-3 re-expand
+        * each fit around its current coefficients (LogisticLasso-style IRLS
+        * weights), one extra distributed Gram pass over JUST the fitted
+        * columns per extra round — use when reference-set parity matters on
+        * far-from-origin (heavily imbalanced) problems. Gram regime only;
+        * the dense d>>n regime keeps the one-step surrogate.
+        */
+      selectionNewtonRounds: Int = 1
   )
 
   /** Maps run indices 0..n-1 through `f` on a fixed pool of `nJobs` driver
@@ -84,8 +95,13 @@ object FeatSel {
       cols.indices.map(i => StructField(s"__shuf_$i", DoubleType)))
     val colIdx = cols.map(df.schema.fieldIndex).toArray
     val key = xxhash64(df.columns.map(q) :+ lit(seed): _*)
+    // EXPLICIT partition count: repartition(col) alone lets AQE size the
+    // exchange from runtime stats, and a different coalescing changes the
+    // partition-local permutation — two identical calls must pair rows
+    // identically (the nJobs/golden determinism contract)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("__srk", key)
-      .repartition(col("__srk"))
+      .repartition(p, col("__srk"))
       .sortWithinPartitions(col("__srk"))
       .drop("__srk")
       .mapPartitions { it =>
@@ -158,18 +174,60 @@ object FeatSel {
     */
   private val gramMaxCols = 1200
 
+  /** Proximal-Newton wrapper around a selection fit (classification only):
+    * round 0 is the base solver's one-step quadratic (expansion around
+    * beta = 0 — the precomputed run Grams); each extra round re-expands the
+    * balanced L1-logistic objective around the current coefficients
+    * (LogisticLasso's IRLS working response/weights) and recomputes the
+    * weighted fold Grams for JUST the fitted columns — one distributed pass
+    * over the persisted run frame per extra round, everything else
+    * driver-side CD.
+    */
+  private final class NewtonGramLasso(withFold: DataFrame, allCols: IndexedSeq[String],
+      zCol: String, cwCol: String, folds: Int, rounds: Int, base: CvLasso) extends CvLasso {
+    override def cvFit(idx: Array[Int]): LassoFit = {
+      var fit = base.cvFit(idx)
+      val cols = idx.map(allCols).toSeq
+      var r = 1
+      while (r < rounds) {
+        val margin = cols.zip(fit.coef).filter(_._2 != 0.0)
+          .foldLeft(lit(fit.intercept).cast("double")) { case (acc, (c, b)) =>
+            acc + q(c).cast("double") * lit(b)
+          }
+        // the frame's target holds the round-0 working response z0 = 4y - 2
+        val y = (q(zCol).cast("double") + lit(2.0)) / lit(4.0)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val pc = least(greatest(p, lit(1e-5)), lit(1.0 - 1e-5))
+        val w = q(cwCol).cast("double") * pc * (lit(1.0) - pc)
+        val z = margin + (y - pc) / (pc * (lit(1.0) - pc))
+        val sub = withFold.select(
+          Seq(col("__fold"), w.as("__nw"), z.as("__nz")) ++ cols.map(q): _*)
+        val grams = Gram.compute(sub, cols, Some("__nz"), Some("__fold"), folds, Some("__nw"))
+        fit = new GramLasso(grams).cvFit(cols.indices.toArray)
+        r += 1
+      }
+      fit
+    }
+  }
+
   /** Build the solver for one selection run's frame (already holding noise
     * columns). `weightCol` (classification) makes fits IRLS-weighted.
     */
   private def runGrams(frame: DataFrame, featCols: Seq[String], shufCols: Seq[String],
                        gaussCols: Seq[String], targetCol: String, folds: Int,
-                       weightCol: Option[String] = None): RunGrams = {
+                       weightCol: Option[String] = None,
+                       newtonRounds: Int = 1): RunGrams = {
     val all = featCols ++ shufCols ++ gaussCols
     val solver: CvLasso =
       if (all.size <= gramMaxCols) {
         val withFold = frame.withColumn("__fold", pmod(monotonically_increasing_id(), lit(folds)).cast("int"))
         val grams = Gram.compute(withFold, all, Some(targetCol), Some("__fold"), folds, weightCol)
-        new GramLasso(grams)
+        val gl = new GramLasso(grams)
+        weightCol match {
+          case Some(cw) if newtonRounds > 1 =>
+            new NewtonGramLasso(withFold, all.toIndexedSeq, targetCol, cw, folds, newtonRounds, gl)
+          case _ => gl
+        }
       } else {
         val wExpr = weightCol.map(q).getOrElse(lit(1.0))
         // executor-side primitive packing: each partition filters bad rows
@@ -295,7 +353,8 @@ object FeatSel {
       val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 131 + run * 17 + i).as(c) }: _*)
       val shufCols = if (useShuffled) featureCols.indices.map(i => s"__shuf_$i") else Nil
-      val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol)
+      val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol,
+        cfg.selectionNewtonRounds)
       val picked = selectRun(rg, nRows, new scala.util.Random(cfg.seed + 7919 * (run + 1)))
       sub.unpersist()
       picked.map(featureCols)
@@ -332,7 +391,8 @@ object FeatSel {
       val frame = frame0.select(frame0.columns.map(c => q(c)).toSeq ++
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 677 + i).as(c) }: _*)
       val shufCols = if (useShuffled) goodCols.indices.map(i => s"__shuf_$i") else Nil
-      val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol)
+      val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol,
+        cfg.selectionNewtonRounds)
       val kept = noiseFilter(rg, goodCols.indices)
       goodCols = kept.map(goodCols)
     }

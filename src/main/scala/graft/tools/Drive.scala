@@ -98,6 +98,9 @@ object Drive {
       val picked = FeatSel.selectFeatures(withY, feats, "y",
         FeatSel.Config(problemType = "classification", featselRuns = 2))
       println("CLF_SELECTED=" + picked.mkString(" | "))
+      val picked3 = FeatSel.selectFeatures(withY, feats, "y",
+        FeatSel.Config(problemType = "classification", featselRuns = 2, selectionNewtonRounds = 3))
+      println("CLF_SELECTED_NEWTON3=" + picked3.mkString(" | "))
       val fit = LogisticLasso.cvFit(withY, feats, "y", rounds = 2)
       println("CLF_COEF=" + fit.cols.zip(fit.coef).map { case (c, b) => f"$c=$b%.4f" }.mkString(" "))
     }
