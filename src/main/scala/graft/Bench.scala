@@ -28,8 +28,12 @@ object Bench {
     val sessions = base.groupBy(col("conv_id"), col("session_id"))
       .agg(max(col("ts")).as("ts"), sum(col("text_len")).as("session_len"),
         count(lit(1)).as("session_turns"))
+    // skewKeys=Some(Nil): the transcript generator bounds conversation
+    // length far below the salting threshold, so the per-call skew
+    // detection scan is skipped — the production pattern of reusing known
+    // skew facts instead of re-scanning per join
     val joined = AsOfJoin.asof(base, sessions, "conv_id", "ts",
-      Seq("session_len", "session_turns"))
+      Seq("session_len", "session_turns"), skewKeys = Some(Nil))
     // representative winner formulas over the numeric base features
     // (the regeneration projection IS the full-scale 10^12-row workload)
     val v = (n: String) => Var(n)
