@@ -152,16 +152,36 @@ object Similarity {
     * query batch is small (AQE decides), and degrades to a hash join
     * shuffled by cluster id for huge query sides — either way the corpus is
     * scanned once and only ~nProbe/nCentroids of it is scored per query.
+    *
+    * Skew: top-k must score EVERY member of a probed cluster (a hub-star
+    * truncation like [[ivfNearDupPairs]]'s would change results), so
+    * clusters larger than `maxClusterSize` are SALTED instead — members
+    * hash into ceil(size/maxClusterSize) sub-partitions and each probing
+    * query replicates to all salts of that cluster (salt counts ride a
+    * broadcast of the nCentroids-row cluster-size table). Per-task join
+    * work is then bounded by maxClusterSize × queries-probing regardless
+    * of how many boilerplate vectors collapse onto one centroid; results
+    * are bit-identical to the unsalted join.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+             k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
+             maxClusterSize: Int = 1 << 16): DataFrame = {
+    val assigned0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"),
       clusterCol(col(vecCol), cents).as("__cluster"))
+    // tiny (≤ nCentroids rows) salt-count table, broadcast to both sides
+    val saltCounts = broadcast(assigned0.groupBy("__cluster")
+      .agg(ceil(count(lit(1)).cast("double") / maxClusterSize).cast("int").as("__nsalt")))
+    val assigned = assigned0.join(saltCounts, Seq("__cluster"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("neighbor_id")), greatest(col("__nsalt"), lit(1))).cast("int"))
     val qDf = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
       explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
-    val scored = assigned.join(qDf, Seq("__cluster"))
+      .join(saltCounts, Seq("__cluster"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cluster"),
+        explode(sequence(lit(0), greatest(col("__nsalt"), lit(1)) - 1)).as("__salt"))
+    val scored = assigned.join(qDf, Seq("__cluster", "__salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / greatest(col("__qn") * col("__cn"), lit(1e-12)))

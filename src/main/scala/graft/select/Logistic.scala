@@ -1,6 +1,6 @@
 package graft.select
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed binary logistic regression via Newton-IRLS: each iteration is
@@ -42,11 +42,14 @@ object Logistic {
     var beta = new Array[Double](d) // [intercept, coefs...]
     for (_ <- 0 until iters) {
       val b = beta
-      val (grad, hess) = data.rdd.mapPartitions { rows =>
+      // InternalRow pass (toRdd, not .rdd): the cached frame is read through
+      // InMemoryTableScan without the deserializer boxing every double —
+      // this loop runs `iters` times over the FULL table for the final model
+      val (grad, hess) = data.queryExecution.toRdd.mapPartitions { rows =>
         val g = new Array[Double](d)
         val h = Array.ofDim[Double](d, d)
         val x = new Array[Double](d)
-        rows.foreach { r: Row =>
+        rows.foreach { r =>
           var ok = !r.isNullAt(0)
           val y = if (ok) r.getDouble(0) else 0.0
           x(0) = 1.0

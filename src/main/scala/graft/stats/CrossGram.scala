@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 /** One-pass cross-moments of two column blocks A (dA cols) and B (dB cols):
   * n, ΣA, ΣA², ΣB, ΣB², ΣA·Bᵀ. Used for the reference's final
@@ -60,9 +60,12 @@ object CrossGram {
     import org.apache.spark.sql.functions.col
     val dA = colsA.size; val dB = colsB.size
     val sel = (colsA ++ colsB).map(c => col(s"`${c.replace("`", "``")}`").cast("double"))
-    df.select(sel: _*).rdd.treeAggregate(new CrossGram(dA, dB))(
-      seqOp = (acc, row: Row) => {
-        val a = new Array[Double](dA); val b = new Array[Double](dB)
+    // InternalRow pass (toRdd, not .rdd): no per-field boxing; one
+    // accumulator + one pair of scratch arrays per PARTITION, not per row
+    df.select(sel: _*).queryExecution.toRdd.mapPartitions { rows =>
+      val acc = new CrossGram(dA, dB)
+      val a = new Array[Double](dA); val b = new Array[Double](dB)
+      rows.foreach { row =>
         var bad = false
         var i = 0
         while (i < dA && !bad) {
@@ -75,10 +78,8 @@ object CrossGram {
           j += 1
         }
         if (!bad) acc.add(a, b)
-        acc
-      },
-      combOp = (x, y) => x.merge(y),
-      depth = 2
-    )
+      }
+      Iterator.single(acc)
+    }.treeReduce((x, y) => x.merge(y), depth = 2)
   }
 }

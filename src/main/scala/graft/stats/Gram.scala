@@ -200,7 +200,9 @@ object Scaling {
     // full scan per chunk). Naive-moment formulas match numpy nanmean /
     // nanstd — the reference's own semantics (nb_utils.py:25-37).
     val proj = df.select(cols.map(c => col(s"`${c.replace("`", "``")}`").cast("double")): _*)
-    val rdd = proj.rdd
+    // InternalRow pass (toRdd, not .rdd): skips the deserializer that boxes
+    // every double into a GenericRow field
+    val rdd = proj.queryExecution.toRdd
     if (rdd.partitions.isEmpty)
       return Stats(Array.fill(k)(Double.NaN), Array.fill(k)(Double.NaN),
         Array.fill(k)(Double.NaN), new Array[Long](k))

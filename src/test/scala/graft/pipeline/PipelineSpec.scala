@@ -136,4 +136,27 @@ class PipelineSpec extends SparkSpec {
     info(s"ivf recall=$recall")
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("ivf knn: mega-cluster salting is bit-identical to the unsalted join") {
+    // one degenerate cluster of 60 near-identical vectors + a second small
+    // cluster; cap 8 forces ceil(60/8)=8 salts on the hot cluster
+    val rng = new scala.util.Random(31)
+    val cA = Array.fill(8)(rng.nextGaussian())
+    val cB = Array.fill(8)(rng.nextGaussian())
+    val data = (0 until 60).map(i =>
+      (i.toLong, cA.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)) ++
+      (100 until 110).map(i =>
+        (i.toLong, cB.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq))
+    val df = data.toDF("vec_id", "embedding").repartition(4).cache()
+    val cents = Similarity.trainCentroidsFromSample(
+      Array(cA, cB).map(v => { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }), 2, iters = 1)
+    val queries = df.filter(col("vec_id") < 5 || col("vec_id") >= 100)
+    def run(cap: Int) = Similarity.ivfKnn(df, queries, "vec_id", "embedding",
+      k = 5, cents = cents, nProbe = 1, maxClusterSize = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val salted = run(8)
+    val unsalted = run(1 << 20)
+    assert(salted == unsalted, "salted top-k differs from unsalted")
+    assert(salted.nonEmpty && salted.count(_._1 == 0L) == 5)
+  }
 }
