@@ -122,23 +122,37 @@ object Similarity {
     best
   }
 
-  /** Cluster assignment column from broadcast centroids (pure expressions:
-    * argmin over per-centroid squared distances).
+  /** Cluster assignment column from broadcast centroids: spherical
+    * assignment (maximize dot(v, c) over unit centroids — equivalent to
+    * cosine since ||v|| is constant per row), via the native
+    * [[graft.functions.IvfProbe]] expression (nProbe = 1).
     */
-  def clusterCol(vec: Column, cents: Array[Array[Double]]): Column = {
-    // spherical assignment: maximize dot(v, c) over unit centroids
-    // (equivalent to cosine since ||v|| is constant per row); dot() routes
-    // through the native vec_dot expression when available
-    val sims = array(cents.map(c => dot(vec, array(c.map(lit): _*))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  def clusterCol(vec: Column, cents: Array[Array[Double]]): Column =
+    probeClusters(vec, cents, 1).getItem(0)
 
-  /** Top-`nProbe` nearest centroid indices for a vector — pure expressions
-    * (per-centroid dot products, array_sort on (−sim, idx) structs), so
-    * probe assignment is executor-side and codegen-eligible: a billion-row
-    * query side never touches the driver.
+  /** Top-`nProbe` nearest centroid indices for a vector. Native
+    * [[graft.functions.IvfProbe]] expression: the centroid matrix rides as
+    * ONE flattened reference object and selection is a primitive
+    * O(k·dim + k·nProbe) codegen'd loop — executor-side, so a billion-row
+    * query side never touches the driver, and the corpus-scale
+    * k ≈ √N ≈ 1000 guideline stays cheap where the built-in formulation
+    * (k·dim literal nodes + a per-row k-struct array_sort) chokes the
+    * analyzer and pays O(k log k) interpreted work per row. Needs no
+    * session extension (carries non-literal state; constructed directly).
+    * Bit-identical to [[probeClustersBuiltin]] — pinned by
+    * IvfProbeSpec.
     */
   def probeClusters(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.functions.IvfProbe(bridge.expression(vec),
+      cents.flatten, cents.length, cents(0).length, nProbe))
+  }
+
+  /** Pure-built-in probe formulation (per-centroid dot products, array_sort
+    * on (−sim, idx) structs) — the parity oracle for [[probeClusters]];
+    * viable only at small centroid counts.
+    */
+  def probeClustersBuiltin(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
     val entries = array(cents.zipWithIndex.map { case (c, i) =>
       val sim = dot(vec, array(c.map(lit): _*))
       struct((-sim).as("negsim"), lit(i).as("idx"))

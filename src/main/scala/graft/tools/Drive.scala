@@ -233,6 +233,26 @@ object Drive {
         c1, 0.9, nProbe = 1).count())
       println("SUGGEST_NCENTROIDS(1e8)=" + Similarity.suggestNCentroids(100000000L))
     }
+    // round 3: native ivf_probe at corpus-scale centroid counts (k=256:
+    // builtin = 4096 literal nodes + per-row 256-struct sort)
+    {
+      import graft.pipeline.Similarity
+      val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+      e.count()
+      val rng = new scala.util.Random(3)
+      val cents = Array.fill(256)(Array.fill(16)(rng.nextGaussian())).map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      def time(c: org.apache.spark.sql.Column): Double = {
+        val t0 = System.nanoTime()
+        e.select(sum(element_at(c, 1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warm = time(Similarity.probeClusters(col("embedding"), cents, 4))
+      val tn = time(Similarity.probeClusters(col("embedding"), cents, 4))
+      val tb = time(Similarity.probeClustersBuiltin(col("embedding"), cents, 4))
+      println(f"IVF_PROBE_K256 native=$tn%.2fs builtin=$tb%.2fs (warm=$warm%.2fs)")
+    }
     // round 3: as-of with caller-supplied skew keys — no pre-scan job, and
     // the salted path must NOT plan the custom union (salt spreading)
     {

@@ -11,4 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Wrap a raw Catalyst expression as a public Column (for native
+    * expressions that carry non-literal state, e.g. a centroid matrix,
+    * and so cannot go through SQL function registration).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
