@@ -222,6 +222,16 @@ object SparkEntry {
       graft.pipeline.Dedup.lshCandidatePairs(d, "doc_id", "text", numHashes = 8, bands = 4)
     }),
 
+    // ---- canonical-id resolution: connected components over LSH pairs
+    // (iterative min-label propagation; isolated docs = own component)
+    "q_dedup_components" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.pipeline.Dedup.lshCandidatePairs(d, "doc_id", "text", numHashes = 8, bands = 4)
+      val comp = graft.pipeline.Dedup.connectedComponents(pairs)
+      d.select(col("doc_id")).join(comp, d("doc_id") === comp("id"), "left")
+        .select(d("doc_id"), coalesce(col("component"), d("doc_id")).as("component"))
+    }),
+
     // ---- language-ID heuristic (stopword-marker argmax)
     "q_lang_id" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -468,6 +478,48 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // same LSH pair derivation, then min-label fixpoint via recursive CTE:
+    // reach(id, label) enumerates every label reachable from each node in
+    // the undirected pair graph; MIN over it = the component's minimum id
+    "q_dedup_components" -> {
+      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+      val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+      s"""WITH RECURSIVE grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ',
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+         |  FROM documents),
+         |bases AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+         |  FROM grams),
+         |consts(i, a, b, c) AS (VALUES ${consts}),
+         |sig AS (
+         |  SELECT doc_id, consts.i AS hash_idx,
+         |    list_aggregate(list_transform(bh, h ->
+         |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
+         |  FROM bases, consts),
+         |banded AS (
+         |  SELECT doc_id, hash_idx // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+         |  FROM sig GROUP BY doc_id, hash_idx // 2),
+         |pairsq AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairsq
+         |  UNION ALL SELECT id2, id1 FROM pairsq),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id""".stripMargin
     },
 
     "q_lang_id" ->

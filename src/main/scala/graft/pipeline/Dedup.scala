@@ -139,6 +139,57 @@ object Dedup {
     small.union(mega).distinct()
   }
 
+  /** Connected components over candidate pairs — the canonical-id
+    * resolution stage downstream of [[lshCandidatePairs]] /
+    * [[graft.pipeline.Similarity.ivfNearDupPairs]] (whose hub-star caps
+    * preserve exactly the transitive connectivity this consumes). Returns
+    * (id, component) with component = the minimum id reachable in the
+    * undirected pair graph; only ids that appear in `pairs` are emitted
+    * (isolated documents are their own component — left-join + coalesce).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one join
+    * (labels onto directed edges) + one min-aggregate; labels only ever
+    * decrease, so `Σ label` (exact decimal — no overflow at 10^12 ids) is
+    * unchanged iff a fixpoint was reached, giving an O(1)-row convergence
+    * check per round. Rounds needed = graph diameter: near-dup clusters
+    * are stars/cliques (hub-star capping makes mega clusters stars BY
+    * construction), so 2-4 rounds in practice; `maxIter` bounds
+    * adversarial chains. Each round persists its labels and unpersists the
+    * previous — at production scale insert a lineage-truncating checkpoint
+    * (graft.ckpt) every few rounds.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+    }
+    var prevSum = labelSum(lab)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val msgs = edges.join(lab, edges("src") === lab("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = lab.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
+      lab.unpersist()
+      lab = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    lab
+  }
+
   /** n-gram Jaccard similarity for given candidate pairs (id1, id2). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {

@@ -35,6 +35,24 @@ class PipelineSpec extends SparkSpec {
     j.get((0L, 3L)).foreach(v => assert(v > 0.3 && v < 1.0))
   }
 
+  test("connected components: min-label propagation over chains, isolated pairs, empty input") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), comp.toString)
+    assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0)
+  }
+
+  test("hub-star capped LSH pairs still resolve to one component") {
+    // 6 identical docs, cap 3: every bucket overflows into a hub star —
+    // connectivity must survive for the canonical-id resolution
+    val dup6 = (1L to 6L).map(i => (i, "identical words repeated here ok")).toDF("doc_id", "text")
+    val star = Dedup.lshCandidatePairs(dup6, "doc_id", "text", numHashes = 8, bands = 4, maxBucketSize = 3)
+    val comp = Dedup.connectedComponents(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet == (1L to 6L).toSet && comp.values.toSet == Set(1L), comp.toString)
+  }
+
   test("simhash: identical 0 distance, near small, different large") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
