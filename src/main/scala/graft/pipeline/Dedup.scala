@@ -187,6 +187,10 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // no silent caps: an unconverged truncation must be visible
+    if (!converged)
+      System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
+        "fixpoint — labels may span unmerged sub-components; raise maxIter for deep chain graphs")
     lab
   }
 

@@ -309,6 +309,19 @@ object Drive {
         .select("thumbnail").collect()(0).getAs[Array[Byte]](0)
       println("PNM_THUMB_HDR=" + new String(thumb.take(2)) + " len=" + thumb.length)
     }
+    // round 3: canonical-id components + streaming dedup front door
+    {
+      import spark.implicits._
+      import graft.pipeline.{Dedup, StreamingDedup}
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+      val comp = Dedup.connectedComponents(pairs).orderBy("id")
+        .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" ")
+      println("COMPONENTS=" + comp + " (expect 1->1 2->1 3->1 7->7 9->7)")
+      val docs = Seq((1L, "same text", new java.sql.Timestamp(1000)),
+        (2L, "SAME   text", new java.sql.Timestamp(2000)),
+        (3L, "other", new java.sql.Timestamp(3000))).toDF("doc_id", "text", "ts")
+      println("STREAMDEDUP_BATCH=" + StreamingDedup.dedup(docs).count() + " (expect 2)")
+    }
     // round 2b: sub-second as-of table reads (millis-precision fallback)
     {
       import spark.implicits._

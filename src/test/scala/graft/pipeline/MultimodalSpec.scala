@@ -102,6 +102,33 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming fingerprint dedup matches batch dedup counts; duplicates suppressed") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val docs = Seq(
+      (1L, "the quick brown fox", ts(0)),
+      (2L, "THE  quick brown fox", ts(1)), // normalized dup of 1
+      (3L, "something else entirely", ts(2)),
+      (4L, "the quick brown fox", ts(3)), // dup of 1
+      (5L, "fourth distinct document", ts(4))
+    ).toDF("doc_id", "text", "ts")
+    val batchCount = StreamingDedup.dedup(docs).count()
+    assert(batchCount == 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingDedup.dedup(stream).writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT count(*) FROM sdedup").collect()(0).getLong(0)
+    q.stop()
+    assert(streamed == batchCount, s"stream $streamed vs batch $batchCount")
+  }
+}
+
 class StreamingSessionSpec extends SparkSpec {
   import graft.time.{StreamingSession, TranscriptGen}
 
