@@ -181,7 +181,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       // InternalRow passes (toRdd, not .rdd): no per-field boxing — see
       // Gram.compute. Values are consumed immediately per row.
       val proj = df.select(feats.map(c => q(c).cast("double")): _*)
-      val (mns, mxs, zs) = proj.queryExecution.toRdd.mapPartitions { rows =>
+      val statsBuffers = proj.queryExecution.toRdd.mapPartitions { rows =>
         val mn = Array.fill(k)(Double.PositiveInfinity)
         val mx = Array.fill(k)(Double.NegativeInfinity)
         val z = new Array[Long](k)
@@ -198,18 +198,26 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
           }
         }
         Iterator.single((mn, mx, z))
-      }.treeReduce { case ((a1, b1, c1), (a2, b2, c2)) =>
-        var i = 0
-        while (i < k) {
-          if (a2(i) < a1(i)) a1(i) = a2(i)
-          if (b2(i) > b1(i)) b1(i) = b2(i)
-          c1(i) += c2(i)
-          i += 1
-        }
-        (a1, b1, c1)
       }
+      // ordered merges (not treeReduce): deterministic combine order — see
+      // graft.stats.DetReduce (min/max/count are order-insensitive, but the
+      // uniform policy keeps every reduction reproducible)
+      val (mns, mxs, zs) = graft.stats.DetReduce.orderedReduce[(Array[Double], Array[Double], Array[Long])](
+        statsBuffers,
+        { case ((a1, b1, c1), (a2, b2, c2)) =>
+          var i = 0
+          while (i < k) {
+            if (a2(i) < a1(i)) a1(i) = a2(i)
+            if (b2(i) > b1(i)) b1(i) = b2(i)
+            c1(i) += c2(i)
+            i += 1
+          }
+          (a1, b1, c1)
+        },
+        (Array.fill(k)(Double.PositiveInfinity), Array.fill(k)(Double.NegativeInfinity),
+          new Array[Long](k)))
       val mnB = mns; val mxB = mxs
-      val others = proj.queryExecution.toRdd.mapPartitions { rows =>
+      val otherBuffers = proj.queryExecution.toRdd.mapPartitions { rows =>
         val o = new Array[Long](k)
         rows.foreach { r =>
           var i = 0
@@ -222,11 +230,10 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
           }
         }
         Iterator.single(o)
-      }.treeReduce { (a, b) =>
-        var i = 0
-        while (i < k) { a(i) += b(i); i += 1 }
-        a
       }
+      val others = graft.stats.DetReduce.orderedReduce[Array[Long]](otherBuffers,
+        (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a },
+        new Array[Long](k))
       feats.zipWithIndex.map { case (c, i) =>
         c -> GStats(mns(i), mxs(i), zs(i), others(i) == 0L)
       }.toMap
@@ -261,7 +268,7 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
       cands.indices.foreach { i => crossOff(i) = coAcc; coAcc += parentsOf(i).length }
       val nCross = coAcc
       val proj = waveDf.select((parents ++ cands.map(_._1)).map(c => q(c).cast("double")): _*)
-      val acc = proj.queryExecution.toRdd.mapPartitions { rows =>
+      val accBuffers = proj.queryExecution.toRdd.mapPartitions { rows =>
         val a = new WaveAcc(nP, nC, nCross)
         val pv = new Array[Double](nP)
         rows.foreach { r =>
@@ -292,7 +299,12 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
           }
         }
         Iterator.single(a)
-      }.treeReduce(_ merge _)
+      }
+      // ordered merge: acceptance thresholds (var/corr cutoffs) sit exactly
+      // at FP epsilon for near-constant candidates — combine order must not
+      // depend on task completion
+      val acc = graft.stats.DetReduce.orderedReduce[WaveAcc](accBuffers,
+        (x, y) => x.merge(y), new WaveAcc(nP, nC, nCross))
       val pStats = mutable.HashMap[String, (Double, Double)]() // mean, stdPop
       parents.zipWithIndex.foreach { case (p, i) =>
         val m = acc.pSum(i) / nRows

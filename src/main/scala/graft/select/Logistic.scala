@@ -45,7 +45,7 @@ object Logistic {
       // InternalRow pass (toRdd, not .rdd): the cached frame is read through
       // InMemoryTableScan without the deserializer boxing every double —
       // this loop runs `iters` times over the FULL table for the final model
-      val (grad, hess) = data.queryExecution.toRdd.mapPartitions { rows =>
+      val buffers = data.queryExecution.toRdd.mapPartitions { rows =>
         val g = new Array[Double](d)
         val h = Array.ofDim[Double](d, d)
         val x = new Array[Double](d)
@@ -77,16 +77,21 @@ object Logistic {
           }
         }
         Iterator.single((g, h))
-      }.treeReduce({ case ((g1, h1), (g2, h2)) =>
-        var i = 0
-        while (i < d) {
-          g1(i) += g2(i)
-          var j = 0
-          while (j < d) { h1(i)(j) += h2(i)(j); j += 1 }
-          i += 1
-        }
-        (g1, h1)
-      })
+      }
+      // ordered merge (not treeReduce): deterministic double-sum order
+      val (grad, hess) = graft.stats.DetReduce.orderedReduce[(Array[Double], Array[Array[Double]])](
+        buffers,
+        { case ((g1, h1), (g2, h2)) =>
+          var i = 0
+          while (i < d) {
+            g1(i) += g2(i)
+            var j = 0
+            while (j < d) { h1(i)(j) += h2(i)(j); j += 1 }
+            i += 1
+          }
+          (g1, h1)
+        },
+        (new Array[Double](d), Array.ofDim[Double](d, d)))
       // ridge on non-intercept terms; solve H delta = grad - l2*beta
       var i = 1
       while (i < d) { grad(i) -= l2 * beta(i); hess(i)(i) += l2; i += 1 }

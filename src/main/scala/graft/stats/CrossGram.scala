@@ -62,7 +62,7 @@ object CrossGram {
     val sel = (colsA ++ colsB).map(c => col(s"`${c.replace("`", "``")}`").cast("double"))
     // InternalRow pass (toRdd, not .rdd): no per-field boxing; one
     // accumulator + one pair of scratch arrays per PARTITION, not per row
-    df.select(sel: _*).queryExecution.toRdd.mapPartitions { rows =>
+    val buffers = df.select(sel: _*).queryExecution.toRdd.mapPartitions { rows =>
       val acc = new CrossGram(dA, dB)
       val a = new Array[Double](dA); val b = new Array[Double](dB)
       rows.foreach { row =>
@@ -80,6 +80,8 @@ object CrossGram {
         if (!bad) acc.add(a, b)
       }
       Iterator.single(acc)
-    }.treeReduce((x, y) => x.merge(y), depth = 2)
+    }
+    // ordered merge (not treeReduce): deterministic double-sum order
+    DetReduce.orderedReduce[CrossGram](buffers, (x, y) => x.merge(y), new CrossGram(dA, dB))
   }
 }

@@ -153,7 +153,7 @@ object Gram {
     // InternalRow path keeps whole-stage codegen's primitive decoding right
     // up to this iterator. Values are read immediately (UnsafeRow objects
     // are reused by the scan), never retained.
-    df.select(cols: _*).queryExecution.toRdd.mapPartitions { rows =>
+    val buffers = df.select(cols: _*).queryExecution.toRdd.mapPartitions { rows =>
       val acc = Array.fill(nFolds)(new Gram(d))
       val x = new Array[Double](d)
       rows.foreach { row =>
@@ -177,10 +177,12 @@ object Gram {
         }
       }
       Iterator.single(acc)
-    }.treeReduce(
+    }
+    // ordered merge (not treeReduce): double-sum order must not depend on
+    // task completion order — see DetReduce
+    DetReduce.orderedReduce[Array[Gram]](buffers,
       (a, b) => { var i = 0; while (i < nFolds) { a(i).merge(b(i)); i += 1 }; a },
-      depth = 2
-    )
+      Array.fill(nFolds)(new Gram(d)))
   }
 
   def total(folds: Array[Gram]): Gram =
@@ -206,7 +208,7 @@ object Scaling {
     if (rdd.partitions.isEmpty)
       return Stats(Array.fill(k)(Double.NaN), Array.fill(k)(Double.NaN),
         Array.fill(k)(Double.NaN), new Array[Long](k))
-    val (sums, sumsqs, ns) = rdd.mapPartitions { rows =>
+    val buffers = rdd.mapPartitions { rows =>
       val s = new Array[Double](k)
       val ss = new Array[Double](k)
       val n = new Array[Long](k)
@@ -221,11 +223,15 @@ object Scaling {
         }
       }
       Iterator.single((s, ss, n))
-    }.treeReduce { case ((s1, ss1, n1), (s2, ss2, n2)) =>
-      var i = 0
-      while (i < k) { s1(i) += s2(i); ss1(i) += ss2(i); n1(i) += n2(i); i += 1 }
-      (s1, ss1, n1)
     }
+    val (sums, sumsqs, ns) = DetReduce.orderedReduce[(Array[Double], Array[Double], Array[Long])](
+      buffers,
+      { case ((s1, ss1, n1), (s2, ss2, n2)) =>
+        var i = 0
+        while (i < k) { s1(i) += s2(i); ss1(i) += ss2(i); n1(i) += n2(i); i += 1 }
+        (s1, ss1, n1)
+      },
+      (new Array[Double](k), new Array[Double](k), new Array[Long](k)))
     val m = new Array[Double](k); val sp = new Array[Double](k); val ssamp = new Array[Double](k)
     var i = 0
     while (i < k) {
