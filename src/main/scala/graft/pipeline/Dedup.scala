@@ -154,18 +154,25 @@ object Dedup {
     * check per round. Rounds needed = graph diameter: near-dup clusters
     * are stars/cliques (hub-star capping makes mega clusters stars BY
     * construction), so 2-4 rounds in practice; `maxIter` bounds
-    * adversarial chains. Each round persists its labels and unpersists the
-    * previous — at production scale insert a lineage-truncating checkpoint
-    * (graft.ckpt) every few rounds.
+    * adversarial chains.
+    *
+    * Lineage: each round's labels are CHECKPOINTED (eager localCheckpoint),
+    * not merely persisted — the round references the previous labels twice
+    * (join + union), so without plan truncation the logical plan DOUBLES
+    * per round and analysis goes exponential (observed: a 2 GB plan string
+    * by round ~20; persist caches data but the analyzer still walks the
+    * full tree). localCheckpoint trades re-computability on executor loss
+    * for truncation; a production run on preemptible nodes should swap in
+    * a reliable checkpoint dir (graft.ckpt) at the same call site.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d // empty graph
@@ -176,9 +183,19 @@ object Dedup {
     while (it < maxIter && !converged) {
       val msgs = edges.join(lab, edges("src") === lab("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = lab.select("id", "component").union(msgs)
+      val prop = lab.select("id", "component").union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping (path halving): component := component's component.
+      // Edge propagation alone needs diameter-many rounds — a 10^6-long
+      // near-dup chain would mean 10^6 joins; squaring the pointer graph
+      // each round cuts that to O(log diameter). Labels are node ids, so
+      // every component value has a row in `prop` (left+coalesce guards the
+      // in-flight round anyway).
+      val jump = prop.select(col("id").as("__jid"), col("component").as("__jcomp"))
+      val next = prop.join(jump, prop("component") === jump("__jid"), "left")
+        .select(prop("id"),
+          coalesce(jump("__jcomp"), prop("component")).as("component"))
+        .localCheckpoint(true) // truncates lineage — see the Lineage note
       val s = labelSum(next)
       lab.unpersist()
       lab = next
