@@ -154,9 +154,11 @@ final case class AutoFeatModel(
     val pj = piGroups.map { case (n, ts) =>
       s"""{"name":${ExprJsonStr.q(n)},"terms":${ts.map { case (c, e) => s"${ExprJsonStr.q(c)}:$e" }.mkString("{", ",", "}")}}"""
     }.mkString("[", ",", "]")
+    val pt = if (classifier.isDefined) "classification" else "regression"
     s"""{"originalColumns":${arr(originalColumns)},"categoricalCols":${arr(categoricalCols)},
        |"feategCols":${arr(feategCols)},"symToCol":$s2c,"newFeatCols":${arr(newFeatCols)},
        |"formulas":$fj,"goodCols":${arr(goodCols)},"piGroups":$pj,"allColumns":${arr(allColumns)},
+       |"problemType":"$pt",
        |"coef":[${model.coef.mkString(",")}],"intercept":${model.intercept},"alpha":${model.alpha}}""".stripMargin
   }
 }

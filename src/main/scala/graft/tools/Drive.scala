@@ -173,6 +173,11 @@ object Drive {
         .select("prediction").collect().map(_.getDouble(0))
       println("X2DF_PRED_TRANSFORMED=" + p1.take(2).mkString(",") + "  RAW=" + p2.mkString(","))
       println("X2DF_SCORE_TRANSFORMED=" + model.score(full, "y"))
+      // round 3: model-state sink roundtrip through a serialized artifact
+      val loaded = graft.model.ModelJson.fromJson(model.toJson)
+      val p3 = loaded.predict(Seq((1.0, 2.0), (5.0, 8.0)).toDF("a", "b"))
+        .select("prediction").collect().map(_.getDouble(0))
+      println("MODELJSON_ROUNDTRIP_EQ=" + (p3.toSeq == p2.toSeq))
     }
     // round 2b: units + pi theorem through the public fit/transform path
     {

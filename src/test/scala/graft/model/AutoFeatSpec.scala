@@ -138,6 +138,28 @@ class AutoFeatSpec extends SparkSpec {
     }
   }
 
+  test("model-state sink roundtrip: fromJson(toJson) serves identical predictions") {
+    val (_, model) = AutoFeat.fitTransform(df, "target", AutoFeatConfig(feategSteps = 2, featselRuns = 2))
+    val loaded = ModelJson.fromJson(model.toJson)
+    assert(loaded.goodCols == model.goodCols && loaded.allColumns == model.allColumns)
+    assert(loaded.formulas == model.formulas)
+    val x = df.drop("target")
+    val orig = model.predict(x).select("prediction").collect().map(_.getDouble(0))
+    val back = loaded.predict(x).select("prediction").collect().map(_.getDouble(0))
+    assert(orig.toSeq == back.toSeq, "loaded model predicts differently")
+    assert(math.abs(loaded.score(df, "target") - model.score(df, "target")) < 1e-12)
+    // classification roundtrip: classifier rebuilt from problemType + coef
+    val bin = df.withColumn("label",
+      (col("target") > df.agg(avg("target")).collect()(0).getDouble(0)).cast("int")).drop("target")
+    val (_, cm) = AutoFeat.fitTransform(bin, "label",
+      AutoFeatConfig(problemType = "classification", feategSteps = 1, featselRuns = 1))
+    val cl = ModelJson.fromJson(cm.toJson)
+    assert(cl.classifier.isDefined)
+    val p1 = cm.predictProba(bin.drop("label")).select("probability").collect().map(_.getDouble(0))
+    val p2 = cl.predictProba(bin.drop("label")).select("probability").collect().map(_.getDouble(0))
+    assert(p1.toSeq == p2.toSeq)
+  }
+
   test("model JSON roundtrips formulas") {
     import graft.expr.{ExprJson, F, Var}
     val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))
