@@ -177,12 +177,34 @@ object Similarity {
     * of how many boilerplate vectors collapse onto one centroid; results
     * are bit-identical to the unsalted join.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
-             maxClusterSize: Int = 1 << 16): DataFrame = {
-    val assigned0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+  /** Materialize the corpus side of the IVF index: (neighbor_id, vector,
+    * norm, cluster). At production scale callers compute this ONCE, persist
+    * or write it, and serve many query batches against it — recomputing the
+    * per-row probe assignment (k·dim dots) per batch is the expensive part
+    * of [[ivfKnn]]'s convenience path.
+    */
+  def assignCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"),
       clusterCol(col(vecCol), cents).as("__cluster"))
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
+             maxClusterSize: Int = 1 << 16): DataFrame =
+    // convenience path: assignment computed inline. NOTE the salt-count
+    // aggregate below scans it a second time — batch-serving callers should
+    // assignCorpus(...).persist() once and use ivfKnnAssigned per batch.
+    ivfKnnAssigned(assignCorpus(corpus, idCol, vecCol, cents), queries, idCol, vecCol,
+      k, cents, nProbe, maxClusterSize)
+
+  /** [[ivfKnn]] over a precomputed (possibly persisted) [[assignCorpus]]
+    * frame — the production shape: the index is materialized once, every
+    * query batch pays only its own probe assignment + the cluster join.
+    */
+  def ivfKnnAssigned(assigned0: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
+                     maxClusterSize: Int = 1 << 16): DataFrame = {
     // tiny (≤ nCentroids rows) salt-count table, broadcast to both sides
     val saltCounts = broadcast(assigned0.groupBy("__cluster")
       .agg(ceil(count(lit(1)).cast("double") / maxClusterSize).cast("int").as("__nsalt")))

@@ -176,5 +176,12 @@ class PipelineSpec extends SparkSpec {
     val unsalted = run(1 << 20)
     assert(salted == unsalted, "salted top-k differs from unsalted")
     assert(salted.nonEmpty && salted.count(_._1 == 0L) == 5)
+    // production shape: a persisted precomputed index serves identically
+    val idx = Similarity.assignCorpus(df, "vec_id", "embedding", cents).cache()
+    val viaIndex = Similarity.ivfKnnAssigned(idx, queries, "vec_id", "embedding",
+      k = 5, cents = cents, nProbe = 1, maxClusterSize = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    idx.unpersist()
+    assert(viaIndex == salted)
   }
 }
