@@ -121,6 +121,15 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
       )).as(Seq("band", "bucket")))
+    bucketedPairs(banded, maxBucketSize)
+  }
+
+  /** Within-bucket pair explosion with the mega-bucket hub-star cap, shared
+    * by the MinHash/LSH and SimHash band pipelines. `banded` must carry
+    * (id, band, bucket); see [[lshCandidatePairs]]'s doc for the physical
+    * shape and capping semantics.
+    */
+  private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     // size every bucket with window aggregates (spillable; same hash
     // partitioning is reused by the small-bucket groupBy below — one shuffle)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
@@ -137,6 +146,27 @@ object Dedup {
     val mega = sized.filter(col("__bsize") > maxBucketSize && col("id") =!= col("__hub"))
       .select(col("__hub").as("id1"), col("id").as("id2"))
     small.union(mega).distinct()
+  }
+
+  /** SimHash band candidate pairs: the `bits`-bit simhash is split into
+    * `bands` contiguous bit ranges; documents sharing any band value become
+    * a candidate pair (id1 < id2). Two docs within hamming distance
+    * `bands - 1` ALWAYS share at least one band (pigeonhole), so with 32
+    * bits / 4 bands every pair at distance ≤ 3 is found — the standard
+    * near-dup regime for token-level simhash. Same linear physical shape
+    * and mega-bucket hub-star cap as [[lshCandidatePairs]].
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            bits: Int = 32, bands: Int = 4,
+                            maxBucketSize: Int = 4096): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("__sh"))
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    bucketedPairs(banded, maxBucketSize)
   }
 
   /** Connected components over candidate pairs — the canonical-id

@@ -62,6 +62,24 @@ class PipelineSpec extends SparkSpec {
     assert(sh(4) == sh(5)) // simhash is order-insensitive over tokens
   }
 
+  test("simhash band pairs: hamming <= bands-1 pairs guaranteed; cap gives hub star") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", bits = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups share every band
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    // pigeonhole guarantee: verify every hamming<=3 pair was found
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- sh.keys; b <- sh.keys if a < b
+         if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3)
+      assert(pairs.contains((a, b)), s"missed hamming<=3 pair ($a,$b)")
+    // cap: 6 identical docs at cap 3 emit the 5-pair hub star per band
+    val dup6 = (1L to 6L).map(i => (i, "identical words repeated here ok")).toDF("doc_id", "text")
+    val star = Dedup.simhashCandidatePairs(dup6, "doc_id", "text", maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (2L to 6L).map(i => (1L, i)).toSet, star.toString)
+  }
+
   test("text stats behave") {
     val r = docs.select(
       TextOps.tokenCount(col("text")).as("tc"),
