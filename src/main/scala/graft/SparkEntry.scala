@@ -180,10 +180,13 @@ object SparkEntry {
       d.select(col("doc_id"), graft.pipeline.Dedup.simhash(col("text")).as("simhash"))
     }),
 
-    // ---- simhash band candidate pairs (hamming <= bands-1 guaranteed)
+    // ---- simhash band candidate pairs (hamming <= bands-1 guaranteed).
+    // 48 bits / 4 bands = 12-bit buckets: band width scales candidate
+    // density the way nCentroids does for IVF — 8-bit bands put a 5k-doc
+    // corpus at ~20 docs/bucket and quadratic within-bucket work
     "q_simhash_pairs" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.pipeline.Dedup.simhashCandidatePairs(d, "doc_id", "text", bits = 32, bands = 4)
+      graft.pipeline.Dedup.simhashCandidatePairs(d, "doc_id", "text", bits = 48, bands = 4)
     }),
 
     // ---- forward-fill / lead / lag (§2.10) through the PointInTime API
@@ -418,18 +421,18 @@ object SparkEntry {
         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash
         |FROM h""".stripMargin,
 
-    // same simhash derivation, banded into 4 x 8-bit buckets, pair join
+    // same simhash derivation at 48 bits, banded into 4 x 12-bit buckets
     "q_simhash_pairs" ->
       """WITH h AS (SELECT doc_id, list_transform(
         |    regexp_split_to_array(trim(lower(text)), '\s+'),
         |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
         |  FROM documents),
-        |sig AS (SELECT doc_id, CAST(list_aggregate(list_transform(range(32), b ->
+        |sig AS (SELECT doc_id, CAST(list_aggregate(list_transform(range(48), b ->
         |  CASE WHEN 2 * len(list_filter(th, x -> (x >> CAST(b AS INT)) & 1 = 1)) - len(th) > 0
         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sh
         |FROM h),
         |banded AS (
-        |  SELECT doc_id, b.band AS band, (sh >> CAST(8 * b.band AS INT)) & 255 AS bucket
+        |  SELECT doc_id, b.band AS band, (sh >> CAST(12 * b.band AS INT)) & 4095 AS bucket
         |  FROM sig, (SELECT UNNEST(range(4)) AS band) b)
         |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
         |FROM banded a JOIN banded c
