@@ -1,6 +1,6 @@
 package graft.time
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -42,8 +42,22 @@ object AsOfJoin {
              * cache one detection result across many joins) should pass it
              * in.
              */
-           skewKeys: Option[Seq[String]] = None): DataFrame = {
+           skewKeys: Option[Seq[String]] = None,
+           /** "backward" (default): latest right row with r.ts <= l.ts;
+             * "forward": earliest right row with r.ts >= l.ts — the same
+             * one-exchange window plan over a mirrored sort order.
+             */
+           direction: String = "backward",
+           /** Bounded staleness (feature-store semantics): a match further
+             * than this many seconds from l.ts (in the join direction)
+             * yields NULL payload instead — evaluated per row after the
+             * forward-fill, zero extra plan nodes.
+             */
+           toleranceSecs: Option[Double] = None): DataFrame = {
     val spark = left.sparkSession
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
 
     // top skewed keys on the left (bounded collect), unless supplied
     val skewedKeys: Seq[String] = skewKeys.getOrElse(
@@ -74,9 +88,12 @@ object AsOfJoin {
         rightPayload.map(c => q(c).as(prefix + c)): _*)
 
     // right rows (tag 0) sort before left rows at equal ts => r.ts == l.ts
-    // is visible to the left row, matching "latest right with r.ts <= l.ts"
+    // is visible to the left row, matching "latest right with r.ts <= l.ts".
+    // Forward direction mirrors the scan: ts DESC, so the carried value is
+    // the latest right row SEEN while descending = the EARLIEST right row
+    // with r.ts >= l.ts (equal-ts rights still sort before the left row).
     val w = Window.partitionBy(col("__k"), col("__salt"))
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(if (fwd) col("__ts").desc else col("__ts").asc, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // union the tagged frames. With GraftExtensions, the custom
     // CoPartitionedUnion keeps the left side's hash partitioning visible to
@@ -110,15 +127,26 @@ object AsOfJoin {
       } else lFrame.unionByName(rFrame)
 
     // the payload struct is null on left rows, so last(ignoreNulls=true)
-    // carries the latest RIGHT payload forward into each left row
+    // carries the latest RIGHT payload forward into each left row; the
+    // matched row's own ts (__mts) rides inside the struct for the
+    // tolerance gate
     val filled = unioned
       .withColumn("__pay",
-        when(col("__tag") === 0, struct(rightPayload.map(c => q(prefix + c)): _*)))
+        when(col("__tag") === 0,
+          struct(rightPayload.map(c => q(prefix + c)) :+ col("__ts").as("__mts"): _*)))
       .withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+    val withinTol: Column = toleranceSecs match {
+      case None => lit(true)
+      case Some(tol) =>
+        val dist =
+          if (fwd) col("__carry").getField("__mts").cast("double") - col("__ts").cast("double")
+          else col("__ts").cast("double") - col("__carry").getField("__mts").cast("double")
+        dist <= lit(tol)
+    }
     filled.select(lCols.map(q) ++
       rightPayload.map { c =>
-        col("__carry").getField(prefix + c).as(prefix + c)
+        when(withinTol, col("__carry").getField(prefix + c)).as(prefix + c)
       }: _*)
   }
 }

@@ -97,6 +97,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plain.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"))
   }
 
+  test("forward direction matches a forward window oracle, ties included") {
+    val rng = new scala.util.Random(33)
+    val left = (0 until 500).map(_ =>
+      (s"k${rng.nextInt(6)}", ts(rng.nextInt(100000).toLong))).toDF("k", "ts")
+    val right = (0 until 150).map(i =>
+      (s"k${rng.nextInt(6)}", ts(rng.nextInt(100000).toLong), i.toDouble)).toDF("k", "ts", "v")
+    val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), direction = "forward")
+      .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    // oracle: earliest right with r.ts >= l.ts
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+    val j = l.join(right.withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk"),
+      col("k") === col("rk") && col("rts") >= col("ts"), "left")
+    val w = Window.partitionBy("__lid").orderBy(asc("rts"))
+    val exp = j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("k"), col("ts"), col("v").as("asof_v"))
+      .groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    // tie: a right row at exactly l.ts is taken in forward mode too
+    val lt = Seq(("a", ts(100))).toDF("k", "ts")
+    val rt = Seq(("a", ts(100), 1.0), ("a", ts(150), 2.0)).toDF("k", "ts", "v")
+    assert(AsOfJoin.asof(lt, rt, "k", "ts", Seq("v"), direction = "forward")
+      .select("asof_v").as[Double].head() == 1.0)
+  }
+
+  test("tolerance nulls matches staler than the bound (both directions)") {
+    val left = Seq(("a", ts(100)), ("a", ts(200))).toDF("k", "ts")
+    val right = Seq(("a", ts(95), 1.0), ("a", ts(130), 2.0)).toDF("k", "ts", "v")
+    // backward, tol=10s: l@100 matches r@95 (5s, kept); l@200's match r@130
+    // is 70s stale -> null
+    val b = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), toleranceSecs = Some(10.0))
+      .orderBy("ts").select("asof_v").collect()
+    assert(b(0).getDouble(0) == 1.0 && b(1).isNullAt(0), b.mkString(","))
+    // forward, tol=10s: l@100's next is r@130 (30s ahead -> null); l@200 has
+    // no forward match -> null
+    val f = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+      direction = "forward", toleranceSecs = Some(10.0))
+      .orderBy("ts").select("asof_v").collect()
+    assert(f(0).isNullAt(0) && f(1).isNullAt(0), f.mkString(","))
+    // and with a generous tolerance forward matches appear
+    val f2 = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+      direction = "forward", toleranceSecs = Some(60.0))
+      .orderBy("ts").select("asof_v").collect()
+    assert(f2(0).getDouble(0) == 2.0 && f2(1).isNullAt(0))
+  }
+
   test("CoPartitionedUnion and built-in union formulations agree exactly") {
     // TestSpark carries GraftExtensions, so the default path plans the
     // custom union; the forced built-in path covers extension-less sessions
