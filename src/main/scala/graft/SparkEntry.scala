@@ -186,7 +186,12 @@ object SparkEntry {
     // corpus at ~20 docs/bucket and quadratic within-bucket work
     "q_simhash_pairs" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.pipeline.Dedup.simhashCandidatePairs(d, "doc_id", "text", bits = 48, bands = 4)
+      // cap-free: the DuckDB oracle enumerates ALL within-bucket pairs, so
+      // the hub-star cap must be disabled here or a >4096-doc band bucket at
+      // a larger scale factor would diverge from the oracle (the capped
+      // production default is exercised by PipelineSpec instead)
+      graft.pipeline.Dedup.simhashCandidatePairs(d, "doc_id", "text", bits = 48, bands = 4,
+        maxBucketSize = Int.MaxValue)
     }),
 
     // ---- forward-fill / lead / lag (§2.10) through the PointInTime API
@@ -228,7 +233,19 @@ object SparkEntry {
     // ---- MinHash-LSH band-bucket candidate pairs (8 hashes, 4 bands)
     "q_lsh_pairs" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.pipeline.Dedup.lshCandidatePairs(d, "doc_id", "text", numHashes = 8, bands = 4)
+      // cap-free for the same reason as q_simhash_pairs: the oracle
+      // enumerates all within-bucket pairs
+      graft.pipeline.Dedup.lshCandidatePairs(d, "doc_id", "text", numHashes = 8, bands = 4,
+        maxBucketSize = Int.MaxValue)
+    }),
+
+    // ---- streaming near-dup front door, batch fallback: per-band-bucket
+    // hub-star pairs (the shape the streaming operator emits); ts is
+    // synthetic — it only drives state TTL, which batch execution ignores
+    "q_stream_neardup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts", to_timestamp(col("doc_id") + lit(1000000000L)))
+      graft.pipeline.StreamingNearDup.candidatePairs(d).distinct().toDF()
     }),
 
     // ---- canonical-id resolution: connected components over LSH pairs
@@ -504,6 +521,41 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // streaming near-dup batch fallback: same signature derivation at the
+    // operator's defaults (16 hashes / 4 bands), then min-id hub star per
+    // band bucket instead of all within-bucket pairs
+    "q_stream_neardup" -> {
+      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+      val consts = (0 until 16).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ',
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+         |  FROM documents),
+         |bases AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+         |  FROM grams),
+         |consts(i, a, b, c) AS (VALUES ${consts}),
+         |sig AS (
+         |  SELECT doc_id, consts.i AS hash_idx,
+         |    list_aggregate(list_transform(bh, h ->
+         |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
+         |  FROM bases, consts),
+         |banded AS (
+         |  SELECT doc_id, hash_idx // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+         |  FROM sig GROUP BY doc_id, hash_idx // 4),
+         |hubs AS (
+         |  SELECT band, bucket, MIN(doc_id) AS hub FROM banded GROUP BY band, bucket)
+         |SELECT DISTINCT h.hub AS id1, b.doc_id AS id2
+         |FROM banded b JOIN hubs h
+         |  ON b.band = h.band AND b.bucket = h.bucket AND b.doc_id != h.hub""".stripMargin
     },
 
     // same LSH pair derivation, then min-label fixpoint via recursive CTE:

@@ -172,19 +172,37 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
     def nameOf(expr: FExpr): String = expr.name
 
     // ---------------------------------------------------------- guards
-    // Two single-pass tree-reduced RDD jobs (min/max/zeros, then exact
-    // <=2-distinct given min/max) — NOT chunked SQL aggregates: hundreds of
-    // aggregate expressions per job cost seconds of driver analysis/codegen
-    // each, and a wave needs stats for thousands of features.
+    // ONE single-pass tree-reduced RDD job — NOT chunked SQL aggregates:
+    // hundreds of aggregate expressions per job cost seconds of driver
+    // analysis/codegen each, and a wave needs stats for thousands of
+    // features. The pass tracks min/max/zeros AND up to 3 distinct non-NaN
+    // values per column (plus a NaN-seen flag), which subsumes the former
+    // second "exact <=2-distinct given min/max" pass: <=2-distinct holds
+    // iff no NaN was seen and fewer than 3 distinct values exist — NaN
+    // counted as always-distinct, exactly as the old pass's v != min &&
+    // v != max test treated it (halves the per-wave guard scan jobs).
     def guardStats(feats: Seq[String]): Map[String, GStats] = {
       val k = feats.size
-      // InternalRow passes (toRdd, not .rdd): no per-field boxing — see
+      // InternalRow pass (toRdd, not .rdd): no per-field boxing — see
       // Gram.compute. Values are consumed immediately per row.
       val proj = df.select(feats.map(c => q(c).cast("double")): _*)
+      type Buf = (Array[Double], Array[Double], Array[Long], Array[Array[Double]], Array[Int], Array[Boolean])
+      // function VALUE, not a local def: a lifted local def becomes a method
+      // on the enclosing class and its closure ships `this` per task (the
+      // $outer-capture hazard); a capture-free lambda serializes alone
+      val insertDistinct: (Array[Double], Int, Double) => Int = (d, nd, v) => {
+        var j = 0
+        var seen = false
+        while (j < nd && !seen) { if (d(j) == v) seen = true; j += 1 }
+        if (seen || nd >= 3) nd else { d(nd) = v; nd + 1 }
+      }
       val statsBuffers = proj.queryExecution.toRdd.mapPartitions { rows =>
         val mn = Array.fill(k)(Double.PositiveInfinity)
         val mx = Array.fill(k)(Double.NegativeInfinity)
         val z = new Array[Long](k)
+        val d = Array.ofDim[Double](k, 3)
+        val nd = new Array[Int](k)
+        val nan = new Array[Boolean](k)
         rows.foreach { r =>
           var i = 0
           while (i < k) {
@@ -193,49 +211,36 @@ final class FeatEng(cfg: FeatEngConfig = FeatEngConfig()) {
               if (v < mn(i)) mn(i) = v
               if (v > mx(i)) mx(i) = v
               if (v == 0.0) z(i) += 1
+              if (v.isNaN) nan(i) = true
+              else nd(i) = insertDistinct(d(i), nd(i), v)
             }
             i += 1
           }
         }
-        Iterator.single((mn, mx, z))
+        Iterator.single((mn, mx, z, d, nd, nan))
       }
-      // ordered merges (not treeReduce): deterministic combine order — see
-      // graft.stats.DetReduce (min/max/count are order-insensitive, but the
+      // ordered merge (not treeReduce): deterministic combine order — see
+      // graft.stats.DetReduce (these stats are order-insensitive, but the
       // uniform policy keeps every reduction reproducible)
-      val (mns, mxs, zs) = graft.stats.DetReduce.orderedReduce[(Array[Double], Array[Double], Array[Long])](
+      val (mns, mxs, zs, _, nds, nans) = graft.stats.DetReduce.orderedReduce[Buf](
         statsBuffers,
-        { case ((a1, b1, c1), (a2, b2, c2)) =>
+        { case ((a1, b1, c1, d1, n1, f1), (a2, b2, c2, d2, n2, f2)) =>
           var i = 0
           while (i < k) {
             if (a2(i) < a1(i)) a1(i) = a2(i)
             if (b2(i) > b1(i)) b1(i) = b2(i)
             c1(i) += c2(i)
+            var j = 0
+            while (j < n2(i)) { n1(i) = insertDistinct(d1(i), n1(i), d2(i)(j)); j += 1 }
+            f1(i) ||= f2(i)
             i += 1
           }
-          (a1, b1, c1)
+          (a1, b1, c1, d1, n1, f1)
         },
         (Array.fill(k)(Double.PositiveInfinity), Array.fill(k)(Double.NegativeInfinity),
-          new Array[Long](k)))
-      val mnB = mns; val mxB = mxs
-      val otherBuffers = proj.queryExecution.toRdd.mapPartitions { rows =>
-        val o = new Array[Long](k)
-        rows.foreach { r =>
-          var i = 0
-          while (i < k) {
-            if (!r.isNullAt(i)) {
-              val v = r.getDouble(i)
-              if (v != mnB(i) && v != mxB(i)) o(i) += 1
-            }
-            i += 1
-          }
-        }
-        Iterator.single(o)
-      }
-      val others = graft.stats.DetReduce.orderedReduce[Array[Long]](otherBuffers,
-        (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a },
-        new Array[Long](k))
+          new Array[Long](k), Array.ofDim[Double](k, 3), new Array[Int](k), new Array[Boolean](k)))
       feats.zipWithIndex.map { case (c, i) =>
-        c -> GStats(mns(i), mxs(i), zs(i), others(i) == 0L)
+        c -> GStats(mns(i), mxs(i), zs(i), !nans(i) && nds(i) <= 2)
       }.toMap
     }
 

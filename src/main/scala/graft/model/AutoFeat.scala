@@ -45,7 +45,11 @@ final case class AutoFeatConfig(
       * [[graft.select.FeatSel.Config.selectionNewtonRounds]]); 1 = the
       * documented one-step surrogate deviation.
       */
-    selectionNewtonRounds: Int = 1
+    selectionNewtonRounds: Int = 1,
+    /** Selection Lasso solver: "cd" or "lars" (exact LARS path — see
+      * [[graft.select.FeatSel.Config.solver]]).
+      */
+    selectionSolver: String = "cd"
 )
 
 final case class LinearModel(cols: Seq[String], coef: Array[Double], intercept: Double, alpha: Double)
@@ -69,7 +73,12 @@ final case class AutoFeatModel(
       * target (reference `all_columns_`, autofeat.py:386): the `_X2df`
       * already-transformed test is exact LIST equality against this.
       */
-    allColumns: Seq[String] = Nil
+    allColumns: Seq[String] = Nil,
+    /** Multinomial softmax classifier for K > 2 classes (sklearn
+      * LogisticRegressionCV's multi-class default, autofeat.py:398);
+      * `classifier` stays the binary model and is None when this is set.
+      */
+    multiClassifier: Option[graft.select.Logistic.MultiModel] = None
 ) {
 
   /** Reference transform (autofeat.py:436-467): one-hot is REFIT on the new
@@ -85,11 +94,14 @@ final case class AutoFeatModel(
       AutoFeat.addPiColumns(oneHot, piGroups), newFeatCols, formulas, symToCol))
   }
 
-  def predictCol: Column = classifier match {
-    case Some(lm) => lm.predictCol.cast("double").as("prediction")
-    case None =>
-      val terms = goodCols.zip(model.coef).collect { case (c, b) if b != 0.0 => AutoFeat.q(c).cast("double") * lit(b) }
-      terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
+  def predictCol: Column = multiClassifier match {
+    case Some(mm) => mm.predictCol.cast("double").as("prediction")
+    case None => classifier match {
+      case Some(lm) => lm.predictCol.cast("double").as("prediction")
+      case None =>
+        val terms = goodCols.zip(model.coef).collect { case (c, b) if b != 0.0 => AutoFeat.q(c).cast("double") * lit(b) }
+        terms.foldLeft(lit(model.intercept).cast("double"))(_ + _).as("prediction")
+    }
   }
 
   /** _X2df parity (autofeat.py:244-268): the frame is used as-is ONLY when
@@ -106,9 +118,15 @@ final case class AutoFeatModel(
   def predict(df: DataFrame): DataFrame =
     ensureTransformed(df).withColumn("prediction", predictCol)
 
-  def predictProba(df: DataFrame): DataFrame = {
-    val lm = classifier.getOrElse(throw new IllegalStateException("not a classifier"))
-    ensureTransformed(df).withColumn("probability", lm.probCol)
+  /** Class probabilities. Binary keeps the scalar P(y=1) column; K > 2
+    * emits an Array[Double] of K probabilities in sorted-class order
+    * (sklearn predict_proba row shape), each row summing to 1.
+    */
+  def predictProba(df: DataFrame): DataFrame = multiClassifier match {
+    case Some(mm) => ensureTransformed(df).withColumn("probability", mm.probArrayCol)
+    case None =>
+      val lm = classifier.getOrElse(throw new IllegalStateException("not a classifier"))
+      ensureTransformed(df).withColumn("probability", lm.probCol)
   }
 
   /** R² (regression) or accuracy (classification) on a frame with the target.
@@ -130,10 +148,9 @@ final case class AutoFeatModel(
           newFeatCols, formulas, symToCol)
       }
     val y = AutoFeat.q(targetCol).cast("double")
-    classifier match {
-      case Some(_) =>
-        full.agg(avg((predictCol === y).cast("double"))).collect()(0).getDouble(0)
-      case None =>
+    if (classifier.isDefined || multiClassifier.isDefined)
+      full.agg(avg((predictCol === y).cast("double"))).collect()(0).getDouble(0)
+    else {
         val resid = y - predictCol
         val r = full.agg(
           sum(resid * resid).as("ssRes"),
@@ -154,11 +171,18 @@ final case class AutoFeatModel(
     val pj = piGroups.map { case (n, ts) =>
       s"""{"name":${ExprJsonStr.q(n)},"terms":${ts.map { case (c, e) => s"${ExprJsonStr.q(c)}:$e" }.mkString("{", ",", "}")}}"""
     }.mkString("[", ",", "]")
-    val pt = if (classifier.isDefined) "classification" else "regression"
+    val pt = if (classifier.isDefined || multiClassifier.isDefined) "classification" else "regression"
+    // Double.toString emits NaN / Infinity / -Infinity for non-finite
+    // values; the ModelJson parser accepts those spellings back, so a
+    // degenerate fit round-trips instead of failing at load time.
+    val multi = multiClassifier.map { mm =>
+      s""","classes":[${mm.classes.mkString(",")}],"interceptMulti":[${mm.intercept.mkString(",")}],
+         |"coefMulti":[${mm.coef.map(r => "[" + r.mkString(",") + "]").mkString(",")}]""".stripMargin
+    }.getOrElse("")
     s"""{"originalColumns":${arr(originalColumns)},"categoricalCols":${arr(categoricalCols)},
        |"feategCols":${arr(feategCols)},"symToCol":$s2c,"newFeatCols":${arr(newFeatCols)},
        |"formulas":$fj,"goodCols":${arr(goodCols)},"piGroups":$pj,"allColumns":${arr(allColumns)},
-       |"problemType":"$pt",
+       |"problemType":"$pt"$multi,
        |"coef":[${model.coef.mkString(",")}],"intercept":${model.intercept},"alpha":${model.alpha}}""".stripMargin
   }
 }
@@ -227,10 +251,30 @@ object AutoFeat {
     * categories, columns `cat_{c}_{v}`, original column dropped.
     * Returns (frame, map col -> new column names).
     */
+  /** Cardinality cap for one-hot columns: collect_set holds every distinct
+    * value of every categorical column in ONE aggregation buffer, so a
+    * mistyped categorical (an ID column) at table scale would OOM an
+    * executor and then the driver with no diagnosable error. The approx
+    * pre-check below fails fast with an actionable message instead.
+    */
+  val maxOneHotCardinality: Long = 100000L
+
   def transformCategoricalCols(df: DataFrame, cats: Seq[String]): (DataFrame, Map[String, Seq[String]]) = {
     if (cats.isEmpty) return (df, Map.empty)
     cats.foreach(c =>
       require(df.columns.contains(c), s"[AutoFeat] categorical_col $c not in df.columns"))
+    // cheap guard pass BEFORE the unbounded collect_set buffer materializes:
+    // one aggregate of approx_count_distinct sketches (bounded memory)
+    val approxRow = df.agg(
+      approx_count_distinct(q(cats.head)).as(cats.head),
+      cats.tail.map(c => approx_count_distinct(q(c)).as(c)): _*).collect()(0)
+    cats.zipWithIndex.foreach { case (c, i) =>
+      val card = approxRow.getLong(i)
+      require(card <= maxOneHotCardinality,
+        s"[AutoFeat] categorical_col $c has ~$card distinct values " +
+          s"(cap $maxOneHotCardinality) — one-hot encoding it would create that many " +
+          "columns; is it an ID column rather than a categorical?")
+    }
     // ONE aggregate job collects every categorical column's distinct values
     // (N columns -> N collect_set aggregates in a single pass), and ONE
     // select builds all indicator columns — no per-column distinct jobs, no
@@ -361,7 +405,8 @@ object AutoFeat {
         val picked = FeatSel.selectFeatures(eng.df, candidateCols, targetCol,
           FeatSel.Config(featselRuns = cfg.featselRuns, seed = cfg.seed,
             problemType = cfg.problemType, nJobs = cfg.nJobs,
-            selectionNewtonRounds = cfg.selectionNewtonRounds))
+            selectionNewtonRounds = cfg.selectionNewtonRounds,
+            solver = cfg.selectionSolver))
         if (picked.isEmpty) withPi.columns.toSeq.filter(_ != targetCol) else picked
       }
     val baseCols = withPi.columns.toSeq.filter(_ != targetCol)
@@ -379,11 +424,23 @@ object AutoFeat {
     // exactly this list, and _X2df tests list equality against it
     val allColumns = fullDf.columns.toSeq.filterNot(_ == targetCol)
     val model = if (cfg.problemType == "classification") {
-      val lm = graft.select.Logistic.fit(fullDf, goodCols, targetCol)
-      AutoFeatModel(
-        originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
-        formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm), piGroups,
-        allColumns)
+      // K > 2 distinct labels -> multinomial softmax (sklearn
+      // LogisticRegressionCV multi-class default); binary 0/1 keeps the
+      // sigmoid Newton-IRLS path
+      val classes = graft.select.Logistic.distinctClasses(fullDf, targetCol)
+      if (classes.size > 2) {
+        val mm = graft.select.Logistic.fitMulti(fullDf, goodCols, targetCol, classes)
+        AutoFeatModel(
+          originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
+          formulas, goodCols, LinearModel(goodCols, Array.fill(goodCols.size)(0.0), 0.0, 0.0),
+          None, piGroups, allColumns, multiClassifier = Some(mm))
+      } else {
+        val lm = graft.select.Logistic.fit(fullDf, goodCols, targetCol)
+        AutoFeatModel(
+          originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,
+          formulas, goodCols, LinearModel(goodCols, lm.coef, lm.intercept, 0.0), Some(lm), piGroups,
+          allColumns)
+      }
     } else {
       val withFold = fullDf.withColumn("__fold", pmod(monotonically_increasing_id(), lit(5)).cast("int"))
       val grams = Gram.compute(withFold, goodCols, Some(targetCol), Some("__fold"), 5)

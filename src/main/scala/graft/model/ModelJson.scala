@@ -29,6 +29,11 @@ object ModelJson {
       case 't' => i += 4; true
       case 'f' => i += 5; false
       case 'n' => i += 4; null
+      // Double.toString spellings from toJson (degenerate fits): NaN,
+      // Infinity, -Infinity — dispatched here so they round-trip instead of
+      // failing at load with an opaque NumberFormatException
+      case 'N' => i += 3; Double.NaN
+      case 'I' => i += 8; Double.PositiveInfinity
       case _ => parseNumber()
     }
 
@@ -83,6 +88,7 @@ object ModelJson {
 
     private def parseNumber(): Double = {
       ws()
+      if (s.startsWith("-Infinity", i)) { i += 9; return Double.NegativeInfinity }
       val start = i
       while (i < s.length && "+-.eE0123456789".indexOf(s(i)) >= 0) i += 1
       s.substring(start, i).toDouble
@@ -134,8 +140,15 @@ object ModelJson {
           .map { case (c, e) => c -> e.asInstanceOf[Double] })
     }
     val problemType = fields.get("problemType").map(_.asInstanceOf[String]).getOrElse("regression")
+    def dbls(v: Any): Array[Double] =
+      v.asInstanceOf[Vector[_]].map(_.asInstanceOf[Double]).toArray
+    val multiClassifier = fields.get("classes").map { cs =>
+      graft.select.Logistic.MultiModel(goodCols, dbls(cs).toSeq,
+        fields("coefMulti").asInstanceOf[Vector[_]].map(dbls).toArray,
+        dbls(fields("interceptMulti")))
+    }
     val classifier =
-      if (problemType == "classification")
+      if (problemType == "classification" && multiClassifier.isEmpty)
         Some(graft.select.Logistic.Model(goodCols, coef, intercept))
       else None
     AutoFeatModel(
@@ -149,6 +162,7 @@ object ModelJson {
       model = LinearModel(goodCols, coef, intercept, alpha),
       classifier = classifier,
       piGroups = piGroups,
-      allColumns = fields.get("allColumns").map(_ => strs("allColumns")).getOrElse(Nil))
+      allColumns = fields.get("allColumns").map(_ => strs("allColumns")).getOrElse(Nil),
+      multiClassifier = multiClassifier)
   }
 }

@@ -197,48 +197,80 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                           maxIter: Int = 20): DataFrame = {
+    val r = connectedComponentsWithInfo(pairs, id1, id2, maxIter)
+    // no silent caps: an unconverged truncation must be visible even to
+    // callers of the frame-only API (programmatic callers should consume
+    // connectedComponentsWithInfo and branch on `converged`)
+    if (!r.converged)
+      System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
+        "fixpoint — labels may span unmerged sub-components; raise maxIter for deep chain graphs")
+    r.labels
+  }
+
+  /** Result of [[connectedComponentsWithInfo]]: the (id, component) frame,
+    * whether the fixpoint was reached within maxIter, and the number of
+    * label-propagation rounds run (the final round is the no-change round
+    * that proves convergence).
+    */
+  final case class CcResult(labels: DataFrame, converged: Boolean, rounds: Int)
+
+  /** Connected components with convergence info — see [[connectedComponents]]
+    * for semantics. FRONTIER formulation: each round propagates labels only
+    * from nodes whose label CHANGED in the previous round (round 1: all
+    * nodes). Min-label propagation from changed-only senders is complete —
+    * an unchanged node's label already reached its neighbors the round it
+    * last changed — and the pointer-jump join against the full label frame
+    * re-reads decreased targets, so results are identical to full
+    * propagation while the per-round edge join shrinks with the frontier
+    * (AQE broadcasts a small frontier, so converged regions stop paying any
+    * edge shuffle at all). Convergence = empty frontier, checked with an
+    * O(1)-row early-exit `isEmpty` on the round's cached output — no
+    * separate label-sum aggregation job.
+    */
+  def connectedComponentsWithInfo(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                                  maxIter: Int = 20): CcResult = {
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .localCheckpoint(true)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
-    }
-    var prevSum = labelSum(lab)
+    var frontier = lab // round 1: every node is a (potential) change source
     var it = 0
-    var converged = false
+    var converged = frontier.isEmpty // empty graph
     while (it < maxIter && !converged) {
-      val msgs = edges.join(lab, edges("src") === lab("id"))
-        .select(col("dst").as("id"), col("component"))
-      val prop = lab.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      val msgs = edges.join(
+          frontier.select(col("id").as("__fid"), col("component").as("__fcomp")),
+          edges("src") === col("__fid"))
+        .select(col("dst").as("id"), col("__fcomp").as("component"))
+      val cand = msgs.groupBy("id").agg(min("component").as("__cand"))
+      val merged = lab.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__cand"), col("component"))).as("__ncomp"),
+          col("component").as("__old"))
       // pointer jumping (path halving): component := component's component.
       // Edge propagation alone needs diameter-many rounds — a 10^6-long
       // near-dup chain would mean 10^6 joins; squaring the pointer graph
       // each round cuts that to O(log diameter). Labels are node ids, so
-      // every component value has a row in `prop` (left+coalesce guards the
-      // in-flight round anyway).
-      val jump = prop.select(col("id").as("__jid"), col("component").as("__jcomp"))
-      val next = prop.join(jump, prop("component") === jump("__jid"), "left")
-        .select(prop("id"),
-          coalesce(jump("__jcomp"), prop("component")).as("component"))
+      // every component value has a row in `merged` (left+coalesce guards
+      // the in-flight round anyway). The jump join runs against the FULL
+      // frame so decreased jump targets reach their dependents next round.
+      val jump = merged.select(col("id").as("__jid"), col("__ncomp").as("__jcomp"))
+      val next = merged.join(jump, merged("__ncomp") === jump("__jid"), "left")
+        .select(merged("id"),
+          coalesce(col("__jcomp"), col("__ncomp")).as("component"),
+          col("__old"))
         .localCheckpoint(true) // truncates lineage — see the Lineage note
-      val s = labelSum(next)
+      val newFrontier = next.where(col("component") =!= col("__old"))
+        .select("id", "component")
+      converged = newFrontier.isEmpty
       lab.unpersist()
-      lab = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      lab = next.select("id", "component")
+      frontier = newFrontier
       it += 1
     }
     edges.unpersist()
-    // no silent caps: an unconverged truncation must be visible
-    if (!converged)
-      System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
-        "fixpoint — labels may span unmerged sub-components; raise maxIter for deep chain graphs")
-    lab
+    CcResult(lab, converged, it)
   }
 
   /** n-gram Jaccard similarity for given candidate pairs (id1, id2). */

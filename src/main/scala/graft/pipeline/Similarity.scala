@@ -191,12 +191,17 @@ object Similarity {
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
-             maxClusterSize: Int = 1 << 16): DataFrame =
-    // convenience path: assignment computed inline. NOTE the salt-count
-    // aggregate below scans it a second time — batch-serving callers should
-    // assignCorpus(...).persist() once and use ivfKnnAssigned per batch.
-    ivfKnnAssigned(assignCorpus(corpus, idCol, vecCol, cents), queries, idCol, vecCol,
-      k, cents, nProbe, maxClusterSize)
+             maxClusterSize: Int = 1 << 16): DataFrame = {
+    // convenience path: the salt-count aggregate and the join side both read
+    // the assignment (k·dim dots per row per read), so it is PERSISTED here
+    // — one assignment computation, two cached reads. The cache is released
+    // by Spark's LRU with the session; callers serving many batches should
+    // own the lifecycle explicitly: assignCorpus(...).persist() once, then
+    // ivfKnnAssigned per batch, unpersist when done.
+    val assigned = assignCorpus(corpus, idCol, vecCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfKnnAssigned(assigned, queries, idCol, vecCol, k, cents, nProbe, maxClusterSize)
+  }
 
   /** [[ivfKnn]] over a precomputed (possibly persisted) [[assignCorpus]]
     * frame — the production shape: the index is materialized once, every
@@ -204,7 +209,13 @@ object Similarity {
     */
   def ivfKnnAssigned(assigned0: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
-                     maxClusterSize: Int = 1 << 16): DataFrame = {
+                     maxClusterSize: Int = 1 << 16): DataFrame =
+    ivfKnnCore(assigned0, queries, idCol, vecCol, k,
+      v => probeClusters(v, cents, nProbe), maxClusterSize)
+
+  private def ivfKnnCore(assigned0: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int, probe: Column => Column,
+                         maxClusterSize: Int): DataFrame = {
     // tiny (≤ nCentroids rows) salt-count table, broadcast to both sides
     val saltCounts = broadcast(assigned0.groupBy("__cluster")
       .agg(ceil(count(lit(1)).cast("double") / maxClusterSize).cast("int").as("__nsalt")))
@@ -213,7 +224,7 @@ object Similarity {
         pmod(xxhash64(col("neighbor_id")), greatest(col("__nsalt"), lit(1))).cast("int"))
     val qDf = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
-      explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
+      explode(probe(col(vecCol))).as("__cluster"))
       .join(saltCounts, Seq("__cluster"))
       .select(col("query_id"), col("__qv"), col("__qn"), col("__cluster"),
         explode(sequence(lit(0), greatest(col("__nsalt"), lit(1)) - 1)).as("__salt"))
@@ -264,12 +275,18 @@ object Similarity {
   def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: Array[Array[Double]], threshold: Double,
                       nProbe: Int = 2, roundTo: Int = 5,
-                      maxClusterSize: Int = 4096): DataFrame = {
+                      maxClusterSize: Int = 4096): DataFrame =
+    nearDupFromProbe(corpus, idCol, vecCol,
+      v => probeClusters(v, cents, nProbe), threshold, roundTo, maxClusterSize)
+
+  private def nearDupFromProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                               probe: Column => Column, threshold: Double,
+                               roundTo: Int, maxClusterSize: Int): DataFrame = {
     // norm computed ONCE per vector before the pair join (cosine() inline
     // would recompute both norms per PAIR — 3 dot products instead of 1)
     val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__norm"),
-      explode(probeClusters(col(vecCol), cents, nProbe)).as("__cluster"))
+      explode(probe(col(vecCol))).as("__cluster"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__cluster")
     val sized = probed.select(col("__id"), col("__v"), col("__norm"), col("__cluster"),
       count(lit(1)).over(w).as("__csize"), min(col("__id")).over(w).as("__hub"))
@@ -291,5 +308,77 @@ object Similarity {
       .select(col("__cluster"), col("__id").as("id2"), col("__v").as("v2"), col("__norm").as("n2"))
     val mega = scored(megaMembers.join(hubs, Seq("__cluster")))
     small.union(mega).distinct()
+  }
+
+  // ------------------------------------------------------- two-level IVF
+  /** Two-level quantizer: `coarse` is k1 unit centroids; `fineFlat` holds
+    * k1·k2 unit fine centroids, cell c's j-th at row c·k2 + j. Global fine
+    * cluster ids are c·k2 + j. For N where the flat k ≈ √N rule passes
+    * [[suggestNCentroids]]'s 65536 clamp (N ≈ 10^11+), pick
+    * k1 ≈ k2 ≈ N^(1/4): per-row assignment cost falls from k·dim to
+    * (k1 + nProbeCoarse·k2)·dim while the expected fine-cell population
+    * stays √N-ish.
+    */
+  final case class TwoLevelCentroids(coarse: Array[Array[Double]],
+                                     fineFlat: Array[Array[Double]], k2: Int) {
+    def k1: Int = coarse.length
+    def dim: Int = coarse(0).length
+  }
+
+  /** Train the two-level quantizer on an in-driver sample: Lloyd for the
+    * coarse level, then Lloyd per coarse cell over the cell's members
+    * (degenerate cells pad with copies of their coarse centroid — duplicate
+    * fine centroids are harmless, ties resolve to the smaller global id).
+    */
+  def trainTwoLevel(sample: Array[Array[Double]], k1: Int, k2: Int,
+                    iters: Int = 10): TwoLevelCentroids = {
+    val coarse = trainCentroidsFromSample(sample, k1, iters)
+    val byCell = sample.groupBy(v => nearest(coarse, v))
+    val fine = (0 until k1).flatMap { c =>
+      val cell = byCell.getOrElse(c, Array.empty[Array[Double]])
+      val distinct = cell.distinct
+      val cellCents =
+        if (distinct.length >= k2) trainCentroidsFromSample(cell, k2, iters)
+        else distinct ++ Array.fill(k2 - distinct.length)(coarse(c).clone)
+      cellCents
+    }.toArray
+    TwoLevelCentroids(coarse, fine, k2)
+  }
+
+  /** Top-`nProbe` GLOBAL fine-cluster ids through the two-level probe
+    * (native [[graft.functions.IvfProbe2]]; with nProbeCoarse = k1 the
+    * result is bit-identical to the flat probe over the full fine matrix).
+    */
+  def probeClustersTwoLevel(vec: Column, tlc: TwoLevelCentroids,
+                            nProbeCoarse: Int, nProbe: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.functions.IvfProbe2(bridge.expression(vec),
+      tlc.coarse.flatten, tlc.fineFlat.flatten, tlc.k1, tlc.k2, tlc.dim,
+      nProbeCoarse, nProbe))
+  }
+
+  /** [[ivfNearDupPairs]] through the two-level quantizer — same one-shuffle
+    * cluster-bucketed shape and hub-star cap, cluster ids = global fine ids.
+    */
+  def ivfNearDupPairsTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                              tlc: TwoLevelCentroids, threshold: Double,
+                              nProbeCoarse: Int = 2, nProbe: Int = 2, roundTo: Int = 5,
+                              maxClusterSize: Int = 4096): DataFrame =
+    nearDupFromProbe(corpus, idCol, vecCol,
+      v => probeClustersTwoLevel(v, tlc, nProbeCoarse, nProbe),
+      threshold, roundTo, maxClusterSize)
+
+  /** [[ivfKnn]] through the two-level quantizer — same broadcast salt-count
+    * and mega-cluster salting machinery, cluster ids = global fine ids.
+    */
+  def ivfKnnTwoLevel(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, tlc: TwoLevelCentroids, nProbeCoarse: Int = 2, nProbe: Int = 2,
+                     maxClusterSize: Int = 1 << 16): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
+      probeClustersTwoLevel(col(vecCol), tlc, 1, 1).getItem(0).as("__cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfKnnCore(assigned, queries, idCol, vecCol, k,
+      v => probeClustersTwoLevel(v, tlc, nProbeCoarse, nProbe), maxClusterSize)
   }
 }

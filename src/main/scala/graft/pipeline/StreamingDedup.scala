@@ -26,6 +26,14 @@ object StreamingDedup {
   /** Deduplicate a (possibly streaming) documents frame by text
     * fingerprint. `tsCol` drives the watermark; output keeps the input
     * columns plus the fingerprint.
+    *
+    * Representative row: the streaming path keeps the first-PROCESSED
+    * arrival (state-store semantics — processing order, which for an
+    * in-order feed is the event-time-first row). The batch fallback keeps
+    * the event-time-FIRST row per fingerprint (min ts, earliest-arrival
+    * semantics, deterministic up to ts ties) — a window row_number, one
+    * shuffle + sort, spillable on degenerate fingerprints like
+    * [[Dedup.exact]] (a bare dropDuplicates would keep an arbitrary row).
     */
   def dedup(docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
             watermark: String = "1 hour"): DataFrame = {
@@ -33,6 +41,11 @@ object StreamingDedup {
     if (withFp.isStreaming)
       withFp.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("fingerprint")
-    else withFp.dropDuplicates("fingerprint")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fingerprint").orderBy(col(tsCol).asc)
+      withFp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 }

@@ -49,7 +49,16 @@ object FeatSel {
         * far-from-origin (heavily imbalanced) problems. Gram regime only;
         * the dense d>>n regime keeps the one-step surrogate.
         */
-      selectionNewtonRounds: Int = 1
+      selectionNewtonRounds: Int = 1,
+      /** Lasso solver for the Gram regime: "cd" (default — coordinate
+        * descent over a geometric λ grid) or "lars" (exact
+        * LARS-with-lasso-modification path, the reference's LassoLarsCV
+        * algorithm — SURVEY §7.4.2's mitigation when CD set drift matters).
+        * Both consume the SAME one-pass fold Grams; the dense d≫n regime
+        * keeps CD (its admission-bounded driver block makes path exactness
+        * moot there).
+        */
+      solver: String = "cd"
   )
 
   /** Maps run indices 0..n-1 through `f` on a fixed pool of `nJobs` driver
@@ -216,13 +225,14 @@ object FeatSel {
   private def runGrams(frame: DataFrame, featCols: Seq[String], shufCols: Seq[String],
                        gaussCols: Seq[String], targetCol: String, folds: Int,
                        weightCol: Option[String] = None,
-                       newtonRounds: Int = 1): RunGrams = {
+                       newtonRounds: Int = 1,
+                       lassoSolver: String = "cd"): RunGrams = {
     val all = featCols ++ shufCols ++ gaussCols
     val solver: CvLasso =
       if (all.size <= gramMaxCols) {
         val withFold = frame.withColumn("__fold", pmod(monotonically_increasing_id(), lit(folds)).cast("int"))
         val grams = Gram.compute(withFold, all, Some(targetCol), Some("__fold"), folds, weightCol)
-        val gl = new GramLasso(grams)
+        val gl: CvLasso = if (lassoSolver == "lars") new GramLars(grams) else new GramLasso(grams)
         weightCol match {
           case Some(cw) if newtonRounds > 1 =>
             new NewtonGramLasso(withFold, all.toIndexedSeq, targetCol, cw, folds, newtonRounds, gl)
@@ -310,6 +320,26 @@ object FeatSel {
                      cfg: Config = Config()): Seq[String] = {
     val isClf = cfg.problemType == "classification"
     require(isClf || cfg.problemType == "regression", s"unknown problemType ${cfg.problemType}")
+    if (isClf) {
+      // Multi-class: per-class one-vs-rest one-step quadratics — each class
+      // runs the full binary selection flow on a binarized target, and the
+      // union of per-class selections (class-major, per-class vote order) is
+      // kept, mirroring the multinomial L1's any-class-nonzero support. One
+      // small distinct aggregate on the admission-bounded selection input
+      // detects K; binary {0,1} labels fall straight through.
+      val classes = Logistic.distinctClasses(df, targetCol)
+      require(classes.size >= 2, s"[featsel] need >= 2 classes, got $classes")
+      if (classes.size > 2 || classes != Seq(0.0, 1.0)) {
+        val keep = cfg.keep.filter(featureCols.contains)
+        val binTargets = if (classes.size > 2) classes else classes.takeRight(1)
+        val perClass = binTargets.map { c =>
+          val bin = df.withColumn(targetCol,
+            when(q(targetCol).cast("double") === lit(c), 1.0).otherwise(0.0))
+          selectFeatures(bin, featureCols, targetCol, cfg.copy(keep = Nil))
+        }
+        return keep ++ perClass.flatten.distinct.filterNot(keep.contains)
+      }
+    }
     // d >> n regime: the whole selection moves to the driver over ONE
     // collected block (see selectFeaturesDense) — same bytes model the
     // reference holds in RAM; zero per-run cluster round-trips
@@ -354,7 +384,7 @@ object FeatSel {
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 131 + run * 17 + i).as(c) }: _*)
       val shufCols = if (useShuffled) featureCols.indices.map(i => s"__shuf_$i") else Nil
       val rg = runGrams(frame, featureCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol,
-        cfg.selectionNewtonRounds)
+        cfg.selectionNewtonRounds, cfg.solver)
       val picked = selectRun(rg, nRows, new scala.util.Random(cfg.seed + 7919 * (run + 1)))
       sub.unpersist()
       picked.map(featureCols)
@@ -392,7 +422,7 @@ object FeatSel {
         gaussCols.zipWithIndex.map { case (c, i) => randn(cfg.seed * 677 + i).as(c) }: _*)
       val shufCols = if (useShuffled) goodCols.indices.map(i => s"__shuf_$i") else Nil
       val rg = runGrams(frame, goodCols, shufCols, gaussCols, targetCol, cfg.folds, weightCol,
-        cfg.selectionNewtonRounds)
+        cfg.selectionNewtonRounds, cfg.solver)
       val kept = noiseFilter(rg, goodCols.indices)
       goodCols = kept.map(goodCols)
     }

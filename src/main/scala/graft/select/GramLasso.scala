@@ -82,64 +82,6 @@ final class GramLasso(folds: Array[Gram]) extends CvLasso {
     }
   }
 
-  private def centered(g: Gram, idx: Array[Int]): (Array[Array[Double]], Array[Double], Array[Double], Double) = {
-    val d = idx.length
-    val nn = g.sw // weight sum (== row count for unweighted Grams)
-    val mu = idx.map(i => g.sx(i) / nn)
-    val muY = g.sy / nn
-    val gm = Array.ofDim[Double](d, d)
-    val c = new Array[Double](d)
-    var i = 0
-    while (i < d) {
-      c(i) = g.sxy(idx(i)) / nn - mu(i) * muY
-      var j = 0
-      while (j < d) {
-        gm(i)(j) = g.xx(idx(i), idx(j)) / nn - mu(i) * mu(j)
-        j += 1
-      }
-      i += 1
-    }
-    (gm, c, mu, muY)
-  }
-
-  private def minus(a: Gram, b: Gram): Gram = {
-    val g = new Gram(a.d)
-    g.n = a.n - b.n
-    g.sw = a.sw - b.sw
-    var i = 0
-    while (i < a.d) { g.sx(i) = a.sx(i) - b.sx(i); g.sxy(i) = a.sxy(i) - b.sxy(i); i += 1 }
-    i = 0
-    while (i < a.sxx.length) { g.sxx(i) = a.sxx(i) - b.sxx(i); i += 1 }
-    g.sy = a.sy - b.sy; g.syy = a.syy - b.syy
-    g
-  }
-
-  /** Held-out MSE of (beta, intercept over train means) on fold Gram. */
-  private def foldMse(fold: Gram, idx: Array[Int], beta: Array[Double],
-                      muTrain: Array[Double], muYTrain: Double): Double = {
-    val nf = fold.sw
-    if (nf <= 0) return Double.NaN
-    val b0 = muYTrain - dot(muTrain, beta)
-    // E[(y - Xb - b0)^2] over fold, from raw sums
-    var quad = 0.0
-    var i = 0
-    while (i < idx.length) {
-      var j = 0
-      while (j < idx.length) { quad += beta(i) * beta(j) * fold.xx(idx(i), idx(j)); j += 1 }
-      i += 1
-    }
-    var lin = 0.0
-    var sxb = 0.0
-    i = 0
-    while (i < idx.length) { lin += beta(i) * fold.sxy(idx(i)); sxb += beta(i) * fold.sx(idx(i)); i += 1 }
-    (fold.syy - 2.0 * lin + quad - 2.0 * b0 * fold.sy + 2.0 * b0 * sxb + nf * b0 * b0) / nf
-  }
-
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
 
   /** Cross-validated Lasso fit over the column subset `idx`.
     *
@@ -155,7 +97,7 @@ final class GramLasso(folds: Array[Gram]) extends CvLasso {
     require(d > 0, "empty column subset")
     val activeCap = math.min(math.min(n - 1, d.toLong), maxActive.toLong).toInt
     // λ path from the full training data
-    val (_, cFull, _, _) = centered(total, idx)
+    val (_, cFull, _, _) = GramOps.centered(total, idx)
     val alphaMax = math.max(cFull.map(math.abs).max, 1e-12)
     val alphas = (0 until nAlphas).map(i =>
       alphaMax * math.pow(eps, i.toDouble / (nAlphas - 1))).toArray
@@ -167,8 +109,8 @@ final class GramLasso(folds: Array[Gram]) extends CvLasso {
       Future {
         val fold = folds(f)
         if (fold.n > 0 && total.n - fold.n > 1) {
-          val train = minus(total, fold)
-          val (gm, c, mu, muY) = centered(train, idx)
+          val train = GramOps.minus(total, fold)
+          val (gm, c, mu, muY) = GramOps.centered(train, idx)
           val beta = new Array[Double](d)
           val rho = c.clone()
           val mse = new Array[Double](nAlphas)
@@ -180,7 +122,7 @@ final class GramLasso(folds: Array[Gram]) extends CvLasso {
             var j = 0
             while (j < d) { if (beta(j) != 0.0) nAct += 1; j += 1 }
             if (nAct > activeCap) truncAt = a
-            else { mse(a) = foldMse(fold, idx, beta, mu, muY); a += 1 }
+            else { mse(a) = GramOps.foldMse(fold, idx, beta, mu, muY); a += 1 }
           }
           (mse, truncAt)
         } else (Array.fill(nAlphas)(Double.NaN), nAlphas)
@@ -199,11 +141,11 @@ final class GramLasso(folds: Array[Gram]) extends CvLasso {
       a += 1
     }
     // refit on all data at the selected λ (warm path down for stability)
-    val (gm, c, mu, muY) = centered(total, idx)
+    val (gm, c, mu, muY) = GramOps.centered(total, idx)
     val beta = new Array[Double](d)
     val rho = c.clone()
     a = 0
     while (a <= best) { cd(gm, c, alphas(a), beta, rho); a += 1 }
-    LassoFit(beta, muY - dot(mu, beta), alphas(best))
+    LassoFit(beta, muY - GramOps.dot(mu, beta), alphas(best))
   }
 }

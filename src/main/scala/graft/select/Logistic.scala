@@ -24,6 +24,213 @@ object Logistic {
     def predictCol: org.apache.spark.sql.Column = (probCol > 0.5).cast("int")
   }
 
+  /** Multinomial softmax model over K classes (sklearn
+    * LogisticRegressionCV multi-class default, reference autofeat.py:398).
+    * Parameterized against the LAST class as baseline: `coef`/`intercept`
+    * hold K-1 blocks; class K-1's margin is identically 0. `classes` are
+    * the sorted distinct label values.
+    */
+  final case class MultiModel(cols: Seq[String], classes: Seq[Double],
+                              coef: Array[Array[Double]], intercept: Array[Double]) {
+    private def q(c: String) = col(s"`${c.replace("`", "``")}`")
+    /** K margin columns (last = 0). */
+    def marginCols: Seq[org.apache.spark.sql.Column] =
+      classes.indices.map { k =>
+        if (k == classes.size - 1) lit(0.0).cast("double")
+        else cols.zip(coef(k)).foldLeft(lit(intercept(k)).cast("double")) {
+          case (acc, (c, b)) => acc + q(c).cast("double") * lit(b)
+        }
+      }
+    /** K softmax probability columns (max-subtracted for stability). */
+    def probCols: Seq[org.apache.spark.sql.Column] = {
+      val m = marginCols
+      val mMax = if (m.size > 1) greatest(m: _*) else m.head
+      val es = m.map(mk => exp(mk - mMax))
+      val denom = es.reduce(_ + _)
+      es.map(_ / denom)
+    }
+    /** Array[Double] column of K probabilities in `classes` order. */
+    def probArrayCol: org.apache.spark.sql.Column = array(probCols: _*)
+    /** Predicted class label: first-max argmax over the margins (sklearn
+      * tie-break). array_position finds the FIRST occurrence of the max.
+      */
+    def predictCol: org.apache.spark.sql.Column = {
+      val mArr = array(marginCols: _*)
+      val idx = array_position(mArr, array_max(mArr)).cast("int")
+      element_at(array(classes.map(lit): _*), idx)
+    }
+  }
+
+  /** Sorted distinct label values (one small aggregate). */
+  def distinctClasses(df: DataFrame, labelCol: String): Seq[Double] =
+    df.select(col(s"`${labelCol.replace("`", "``")}`").cast("double").as("__y"))
+      .where(col("__y").isNotNull && !isnan(col("__y")))
+      .distinct().collect().map(_.getDouble(0)).sorted.toSeq
+
+  /** Multinomial softmax fit via full Newton: each iteration is ONE
+    * distributed pass accumulating the (K-1)(d+1) gradient and its square
+    * Hessian (block (k,l) = X' diag(w·p_k(δ_kl − p_l)) X) with the current
+    * coefficients broadcast in the closure — d is the small post-selection
+    * feature count and K the class count, so the buffer stays tiny.
+    * Balanced weights w_c = n/(K·n_c) match sklearn class_weight="balanced".
+    */
+  def fitMulti(df: DataFrame, featureCols: Seq[String], labelCol: String,
+               classes: Seq[Double], balanced: Boolean = true,
+               l2: Double = 1e-6, iters: Int = 20): MultiModel = {
+    val k = classes.size
+    require(k >= 2, s"need >= 2 classes, got $classes")
+    val km = k - 1
+    val d = featureCols.size + 1 // + intercept, per block
+    val p = km * d
+    val data = df.select((labelCol +: featureCols)
+      .map(c => col(s"`${c.replace("`", "``")}`").cast("double")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lq = col(s"`${labelCol.replace("`", "``")}`").cast("double")
+    val countRows = data.groupBy(lq.as("__y")).agg(count(lit(1)).as("__n")).collect()
+    val nByClass = countRows.map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val n = nByClass.values.sum.toDouble
+    val clsArr = classes.toArray
+    val wByClass = clsArr.map(c =>
+      if (balanced) n / (k.toDouble * math.max(nByClass.getOrElse(c, 0L), 1L)) else 1.0)
+
+    // Internal standardization: engineered features span many orders of
+    // magnitude (x^3·y^3 vs log x), and Newton on the raw scale can
+    // overshoot into non-finite coefficients. Fit on z = (x−μ)/σ and
+    // de-transform exactly afterwards — the returned model is in ORIGINAL
+    // feature units, so serving columns are unaffected.
+    val statRow = data.agg(
+      count(lit(1)).as("__n"),
+      featureCols.indices.flatMap { i =>
+        val name = data.columns(i + 1)
+        val c = col(s"`${name.replace("`", "``")}`").cast("double")
+        val cl = when(isnan(c), lit(null)).otherwise(c)
+        Seq(avg(cl), stddev_pop(cl))
+      }: _*).collect()(0)
+    val mu = Array.tabulate(d - 1)(i => { val v = statRow.get(1 + 2 * i); if (v == null) 0.0 else v.asInstanceOf[Double] })
+    val sd = Array.tabulate(d - 1) { i =>
+      val v = statRow.get(2 + 2 * i)
+      val s = if (v == null) 0.0 else v.asInstanceOf[Double]
+      if (s > 0 && !s.isNaN) s else 1.0
+    }
+
+    var beta = new Array[Double](p)
+    for (_ <- 0 until iters) {
+      val b = beta
+      val buffers = data.queryExecution.toRdd.mapPartitions { rows =>
+        val g = new Array[Double](p)
+        val h = Array.ofDim[Double](p, p)
+        val x = new Array[Double](d)
+        val m = new Array[Double](k)
+        val pr = new Array[Double](k)
+        rows.foreach { r =>
+          var ok = !r.isNullAt(0)
+          val y = if (ok) r.getDouble(0) else 0.0
+          x(0) = 1.0
+          var i = 1
+          while (i < d && ok) {
+            if (r.isNullAt(i)) ok = false
+            else {
+              x(i) = (r.getDouble(i) - mu(i - 1)) / sd(i - 1)
+              if (x(i).isNaN) ok = false
+            }
+            i += 1
+          }
+          val ci = if (ok) java.util.Arrays.binarySearch(clsArr, y) else -1
+          if (ok && ci >= 0) {
+            // softmax with max-subtraction
+            var mMax = 0.0
+            var kk = 0
+            while (kk < km) {
+              var s = 0.0
+              i = 0
+              while (i < d) { s += b(kk * d + i) * x(i); i += 1 }
+              m(kk) = s
+              if (s > mMax) mMax = s
+              kk += 1
+            }
+            m(km) = 0.0
+            var denom = 0.0
+            kk = 0
+            while (kk < k) { pr(kk) = math.exp(m(kk) - mMax); denom += pr(kk); kk += 1 }
+            kk = 0
+            while (kk < k) { pr(kk) /= denom; kk += 1 }
+            val w = wByClass(ci)
+            // gradient blocks: w (1{ci=k} - p_k) x
+            kk = 0
+            while (kk < km) {
+              val gs = w * ((if (ci == kk) 1.0 else 0.0) - pr(kk))
+              i = 0
+              while (i < d) { g(kk * d + i) += gs * x(i); i += 1 }
+              kk += 1
+            }
+            // hessian blocks (k,l): w p_k (δ_kl - p_l) x x'
+            kk = 0
+            while (kk < km) {
+              var ll = 0
+              while (ll < km) {
+                val hs = w * pr(kk) * ((if (kk == ll) 1.0 else 0.0) - pr(ll))
+                if (hs != 0.0) {
+                  i = 0
+                  while (i < d) {
+                    val v = hs * x(i)
+                    var j = 0
+                    while (j < d) { h(kk * d + i)(ll * d + j) += v * x(j); j += 1 }
+                    i += 1
+                  }
+                }
+                ll += 1
+              }
+              kk += 1
+            }
+          }
+        }
+        Iterator.single((g, h))
+      }
+      val (grad, hess) = graft.stats.DetReduce.orderedReduce[(Array[Double], Array[Array[Double]])](
+        buffers,
+        { case ((g1, h1), (g2, h2)) =>
+          var i = 0
+          while (i < p) {
+            g1(i) += g2(i)
+            var j = 0
+            while (j < p) { h1(i)(j) += h2(i)(j); j += 1 }
+            i += 1
+          }
+          (g1, h1)
+        },
+        (new Array[Double](p), Array.ofDim[Double](p, p)))
+      // ridge on non-intercept entries (index % d != 0)
+      var i = 0
+      while (i < p) {
+        if (i % d != 0) { grad(i) -= l2 * beta(i); hess(i)(i) += l2 }
+        else hess(i)(i) += 1e-12
+        i += 1
+      }
+      // damped Newton: cap the step's infinity norm (standardized scale, so
+      // 10 is generous) — quasi-separable or collinear designs otherwise
+      // overshoot into non-finite coefficients and the fit silently
+      // degenerates to a constant predictor
+      val step = solve(hess, grad)
+      var mx = 0.0
+      i = 0
+      while (i < p) { val a = math.abs(step(i)); if (a > mx) mx = a; i += 1 }
+      val scale = if (mx.isNaN || mx.isInfinite) 0.0 else if (mx > 10.0) 10.0 / mx else 1.0
+      i = 0
+      while (i < p) { beta(i) += scale * step(i); i += 1 }
+    }
+    data.unpersist()
+    // de-standardize: coef_orig = coef_z / σ ; b0_orig = b0_z − Σ coef_z μ/σ
+    MultiModel(featureCols, classes,
+      Array.tabulate(km)(kk =>
+        Array.tabulate(d - 1)(j => beta(kk * d + 1 + j) / sd(j))),
+      Array.tabulate(km) { kk =>
+        var b0 = beta(kk * d)
+        var j = 0
+        while (j < d - 1) { b0 -= beta(kk * d + 1 + j) * mu(j) / sd(j); j += 1 }
+        b0
+      })
+  }
+
   /** Fit on `df` with double feature columns and a 0/1 label column. */
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           balanced: Boolean = true, l2: Double = 1e-6, iters: Int = 12): Model = {

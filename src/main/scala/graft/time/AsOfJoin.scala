@@ -19,10 +19,54 @@ import org.apache.spark.sql.types.StructType
   * Skew: keys whose LEFT row count exceeds `skewThreshold` are salted into
   * `salts` sub-partitions; the right side is replicated to every salt of a
   * skewed key (correct because each salted partition then sees the full
-  * right timeline for the key). Right-side-heavy skew would need ts-range
-  * salting with boundary carry-in — not needed for the summary-table shape.
+  * right timeline for the key). Keys whose RIGHT row count exceeds the
+  * threshold instead use TS-RANGE salting (see `rightSkewKeys`): both sides
+  * of the key are routed by which of `salts` time ranges (approx-percentile
+  * boundaries over the key's combined timeline) their ts falls into, and
+  * each range's extremal right row is COPIED into the ranges that need it
+  * as boundary carry-in — every salted partition still holds a complete
+  * prefix (backward) / suffix (forward) view of the right timeline, so
+  * results are identical to the unsalted join while no single task ever
+  * sorts the key's full right side.
   */
 object AsOfJoin {
+
+  /** Numeric view of a ts column for range comparisons: TIMESTAMP_NTZ has
+    * no direct double cast (ANSI), so it routes through TIMESTAMP (session
+    * tz — pinned to UTC by this library's sessions); everything else casts
+    * directly.
+    */
+  private def tsDouble(df: DataFrame, tsCol: String): Column = {
+    val c = col(s"`${tsCol.replace("`", "``")}`")
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => c.cast("timestamp").cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
+  /** Approx-percentile ts boundaries per right-heavy key over the COMBINED
+    * left+right timeline (so a key heavy on both sides splits both evenly):
+    * salts-1 interior boundaries; range of ts = #boundaries <= ts.
+    */
+  private[time] def rangeBounds(left: DataFrame, right: DataFrame, keyCol: String,
+                                tsCol: String, keys: Seq[String], salts: Int): Map[String, Seq[Double]] = {
+    if (keys.isEmpty || salts <= 1) return Map.empty
+    def side(df: DataFrame) = df
+      .filter(col(keyCol).cast("string").isin(keys: _*))
+      .select(col(keyCol).cast("string").as("__k"), tsDouble(df, tsCol).as("__t"))
+    val pcts = array((1 until salts).map(i => lit(i.toDouble / salts)): _*)
+    side(left).union(side(right))
+      .groupBy("__k")
+      .agg(percentile_approx(col("__t"), pcts, lit(1000)).as("__b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+  }
+
+  /** Column: which ts-range of `boundsMap` (a map-literal column
+    * key -> array<double>) the row falls into; only meaningful for keys
+    * present in the map.
+    */
+  private[time] def rangeSaltExpr(boundsMap: Column, keyC: Column, tsC: Column): Column =
+    size(filter(element_at(boundsMap, keyC), b => tsC.cast("double") >= b)).cast("int")
 
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            rightPayload: Seq[String], prefix: String = "asof_",
@@ -53,39 +97,100 @@ object AsOfJoin {
              * yields NULL payload instead — evaluated per row after the
              * forward-fill, zero extra plan nodes.
              */
-           toleranceSecs: Option[Double] = None): DataFrame = {
+           toleranceSecs: Option[Double] = None,
+           /** Keys whose RIGHT side is heavy enough that one task sorting
+             * the key's full right timeline would bottleneck (e.g. as-of
+             * against a per-turn rather than per-session table). These keys
+             * use ts-range salting with boundary carry-in. `Some(Nil)`
+             * (default) asserts no right-heavy keys — the right side is
+             * typically the small summary side, so detection is OPT-IN via
+             * `None` (one groupBy-count scan of the right side per call),
+             * unlike `skewKeys` whose default scans.
+             */
+           rightSkewKeys: Option[Seq[String]] = Some(Nil)): DataFrame = {
     val spark = left.sparkSession
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val fwd = direction == "forward"
 
     // top skewed keys on the left (bounded collect), unless supplied
-    val skewedKeys: Seq[String] = skewKeys.getOrElse(
+    val leftSkewedAll: Seq[String] = skewKeys.getOrElse(
       left.groupBy(col(keyCol).cast("string").as("__k")).count()
         .filter(col("count") > skewThreshold)
         .orderBy(desc("count")).limit(1000)
         .collect().map(_.getString(0)).toSeq)
+    val rightHeavy: Seq[String] = rightSkewKeys.getOrElse(
+      right.groupBy(col(keyCol).cast("string").as("__k")).count()
+        .filter(col("count") > skewThreshold)
+        .orderBy(desc("count")).limit(1000)
+        .collect().map(_.getString(0)).toSeq)
+    // a key heavy on BOTH sides goes to ts-range salting (its boundaries
+    // come from the combined timeline, so both sides split evenly)
+    val skewedKeys = leftSkewedAll.filterNot(rightHeavy.toSet)
     val isSkewed = if (skewedKeys.isEmpty) lit(false)
     else col(keyCol).cast("string").isin(skewedKeys: _*)
+    val isRightHeavy = if (rightHeavy.isEmpty) lit(false)
+    else col(keyCol).cast("string").isin(rightHeavy: _*)
+    val bounds = rangeBounds(left, right, keyCol, tsCol, rightHeavy, salts)
+    // map-literal key -> array<double> of interior boundaries (bounded:
+    // <= 1000 keys x (salts-1) doubles)
+    val boundsMap: Column =
+      if (bounds.isEmpty) lit(null).cast("map<string,array<double>>")
+      else map(bounds.toSeq.sortBy(_._1).flatMap { case (kk, bs) =>
+        Seq(lit(kk), array(bs.map(lit): _*))
+      }: _*)
 
     val lCols = left.columns.toSeq
     def q(c: String) = col(s"`${c.replace("`", "``")}`")
 
     // aligned union: [__k, __ts, __salt, __tag, leftCols..., payload...]
+    val keyStr = col(keyCol).cast("string")
+    val rangeSaltL = rangeSaltExpr(boundsMap, keyStr, tsDouble(left, tsCol))
+    val rangeSaltR = rangeSaltExpr(boundsMap, keyStr, tsDouble(right, tsCol))
     val lFrame = left.select(
-      Seq(col(keyCol).cast("string").as("__k"), col(tsCol).as("__ts"),
-        when(isSkewed, pmod(xxhash64(col(tsCol)), lit(salts)).cast("int"))
+      Seq(keyStr.as("__k"), col(tsCol).as("__ts"),
+        when(isRightHeavy, rangeSaltL)
+          .when(isSkewed, pmod(xxhash64(col(tsCol)), lit(salts)).cast("int"))
           .otherwise(lit(0)).as("__salt"),
         lit(1).as("__tag")) ++
         lCols.map(q) ++
         rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
     val saltArr = array((0 until salts).map(lit): _*)
-    val rFrame = right.select(
-      Seq(col(keyCol).cast("string").as("__k"), col(tsCol).as("__ts"),
-        explode(when(isSkewed, saltArr).otherwise(array(lit(0)))).as("__salt"),
+    val rFrame0 = right.select(
+      Seq(keyStr.as("__k"), col(tsCol).as("__ts"),
+        explode(when(isRightHeavy, array(rangeSaltR))
+          .when(isSkewed, saltArr).otherwise(array(lit(0)))).as("__salt"),
         lit(0).as("__tag")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(c => q(c).as(prefix + c)): _*)
+    // Boundary carry-in for ts-range-salted keys: each range's extremal
+    // right row (latest for backward, earliest for forward) is COPIED into
+    // every range that could need it as its out-of-range match — at most
+    // keys x salts² tiny rows. A copy keeps its ORIGINAL ts, so it sorts
+    // before all in-range rows of its target partition and competes
+    // correctly with other carries (the window's last() picks the max-ts
+    // one), and the tolerance gate sees the true matched ts.
+    val rFrame =
+      if (rightHeavy.isEmpty) rFrame0
+      else {
+        val heavyR = right.filter(keyStr.isin(rightHeavy: _*))
+          .select(keyStr.as("__k"), col(tsCol).as("__ts"), rangeSaltR.as("__s0"),
+            struct(rightPayload.map(q): _*).as("__all"))
+        val perRange = heavyR.groupBy("__k", "__s0").agg(
+          (if (fwd) min_by(col("__all"), col("__ts")) else max_by(col("__all"), col("__ts"))).as("__all"),
+          (if (fwd) min(col("__ts")) else max(col("__ts"))).as("__ts"))
+        val targets =
+          if (fwd) when(col("__s0") > 0, sequence(lit(0), col("__s0") - 1))
+            .otherwise(array().cast("array<int>"))
+          else when(col("__s0") < salts - 1, sequence(col("__s0") + 1, lit(salts - 1)))
+            .otherwise(array().cast("array<int>"))
+        val carry = perRange.select(
+          Seq(col("__k"), col("__ts"), explode(targets).as("__salt"),
+            lit(0).as("__tag")) ++
+            lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+            rightPayload.map(c => col("__all").getField(c).as(prefix + c)): _*)
+        rFrame0.unionByName(carry)
+      }
 
     // right rows (tag 0) sort before left rows at equal ts => r.ts == l.ts
     // is visible to the left row, matching "latest right with r.ts <= l.ts".
@@ -115,7 +220,7 @@ object AsOfJoin {
     // shuffle-elimination fast path and the skew path are mutually
     // exclusive by construction.
     val unioned: DataFrame =
-      if (!forceBuiltinUnion && skewedKeys.isEmpty &&
+      if (!forceBuiltinUnion && skewedKeys.isEmpty && rightHeavy.isEmpty &&
           graft.plans.CoPartitionedUnion.available(spark)) {
         val lp = lFrame.queryExecution.analyzed
         val rp = rFrame.queryExecution.analyzed

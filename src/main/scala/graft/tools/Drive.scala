@@ -336,6 +336,84 @@ object Drive {
         .toDF("id", "ts").write.mode("overwrite").parquet(p)
       println("ASOF_MILLIS=" + Tables.readAsOf(spark, p, 2000L).count() + " (expect 1)")
     }
+    // round 4: multi-class softmax + LARS + frontier CC + right-heavy as-of
+    // + two-level IVF + BPE + streaming near-dup batch fallback
+    {
+      import spark.implicits._
+      // 3-class end-to-end through AutoFeat
+      import graft.model.{AutoFeat, AutoFeatConfig, ModelJson}
+      val rng = new scala.util.Random(4)
+      val triDf = Seq.fill(900) {
+        val a = rng.nextGaussian(); val b = rng.nextGaussian()
+        val lab = if (a > 0.5) 0.0 else if (b > 0.5) 1.0 else 2.0
+        (a, b, lab)
+      }.toDF("a", "b", "label")
+      val (_, m3) = AutoFeat.fitTransform(triDf, "label",
+        AutoFeatConfig(problemType = "classification", feategSteps = 1, featselRuns = 2))
+      val acc3 = m3.score(triDf, "label")
+      val loaded3 = ModelJson.fromJson(m3.toJson)
+      println(s"MULTICLASS acc=$acc3 classes=${m3.multiClassifier.get.classes.mkString(",")} " +
+        s"roundtripAcc=${loaded3.score(triDf, "label")} (expect both >= 0.9)")
+      // degenerate: single-class label must fail loudly, not fit garbage
+      val oneClass = triDf.withColumn("label", lit(1.0))
+      val oneErr = try { AutoFeat.fitTransform(oneClass, "label",
+        AutoFeatConfig(problemType = "classification", feategSteps = 0, featselRuns = 1)); "NO ERROR (bad)" }
+        catch { case e: IllegalArgumentException => "errored as expected" }
+      println("ONECLASS=" + oneErr)
+      // LARS solver flag through selection
+      import graft.select.FeatSel
+      val lDf = Seq.fill(600) {
+        val c = Array.fill(4)(rng.nextGaussian())
+        (c(0), c(1), c(2), c(3), 2.0 * c(1) - c(3) + rng.nextGaussian() * 0.05)
+      }.toDF("g0", "g1", "g2", "g3", "y")
+      val cd = FeatSel.selectFeatures(lDf, Seq("g0", "g1", "g2", "g3"), "y")
+      val lars = FeatSel.selectFeatures(lDf, Seq("g0", "g1", "g2", "g3"), "y",
+        FeatSel.Config(solver = "lars"))
+      println(s"LARS_VS_CD cd=${cd.sorted.mkString(",")} lars=${lars.sorted.mkString(",")}")
+      // frontier connected components with convergence info
+      import graft.pipeline.Dedup
+      val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+      val cc = Dedup.connectedComponentsWithInfo(chain)
+      println(s"FRONTIER_CC converged=${cc.converged} rounds=${cc.rounds} " +
+        s"allOne=${cc.labels.where(col("component") =!= 1L).count() == 0}")
+      // right-heavy as-of: parity salted vs plain on a hot right key
+      import graft.time.AsOfJoin
+      val lft = (0 until 200).map(i => ("hot", new java.sql.Timestamp(i * 977L * 1000))).toDF("k", "ts")
+      val rgt = (0 until 2000).map(i => ("hot", new java.sql.Timestamp(i * 97L * 1000), i.toDouble))
+        .toDF("k", "ts", "v")
+      val plainA = AsOfJoin.asof(lft, rgt, "k", "ts", Seq("v"), skewKeys = Some(Nil))
+        .agg(sum("asof_v")).collect()(0).getDouble(0)
+      val saltA = AsOfJoin.asof(lft, rgt, "k", "ts", Seq("v"), skewKeys = Some(Nil),
+        rightSkewKeys = Some(Seq("hot")), salts = 4)
+        .agg(sum("asof_v")).collect()(0).getDouble(0)
+      println(s"RIGHTHEAVY_ASOF plain=$plainA salted=$saltA equal=${plainA == saltA}")
+      // two-level IVF full-probe == flat probe
+      import graft.pipeline.Similarity
+      val vecs = (0 until 120).map(i => (i.toLong,
+        Array.fill(6)(rng.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+      val sample = Similarity.sampleByKey(vecs, "vec_id", "embedding", 120)
+      val tlc = Similarity.trainTwoLevel(sample, 2, 3)
+      val fl = vecs.select(Similarity.probeClusters(col("embedding"), tlc.fineFlat, 1)(0).as("c"))
+        .groupBy("c").count().orderBy("c").collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val tw = vecs.select(Similarity.probeClustersTwoLevel(col("embedding"), tlc, 2, 1)(0).as("c"))
+        .groupBy("c").count().orderBy("c").collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      println(s"TWOLEVEL_IVF flat=$fl two=$tw equal=${fl == tw}")
+      // BPE count + empty-text probe
+      import graft.pipeline.BpeModel
+      val bpe = BpeModel.loadFile("src/test/resources/fixtures/bpe_merges.txt")
+      val bc = Seq("the quick brown fox", "", "zzz qqq").toDF("text")
+        .select(BpeModel.countCol(col("text"), bpe).as("n")).collect().map(_.getInt(0)).toSeq
+      println(s"BPE_COUNTS=$bc (expect head 8, then 0)")
+      // streaming near-dup batch fallback
+      import graft.pipeline.StreamingNearDup
+      val nd = Seq((1L, "alpha beta gamma delta epsilon zeta", new java.sql.Timestamp(1000)),
+        (2L, "alpha beta gamma delta epsilon zeta", new java.sql.Timestamp(2000)),
+        (3L, "unrelated text entirely different words", new java.sql.Timestamp(3000)))
+        .toDF("doc_id", "text", "ts")
+      val ndp = StreamingNearDup.candidatePairs(nd).distinct().collect()
+        .map(p => s"(${p.id1},${p.id2})").sorted.mkString(" ")
+      println(s"STREAM_NEARDUP=$ndp (expect (1,2))")
+    }
     spark.stop()
   }
 }

@@ -160,6 +160,55 @@ class AutoFeatSpec extends SparkSpec {
     assert(p1.toSeq == p2.toSeq)
   }
 
+  test("multi-class classifier: 3-class accuracy, softmax proba, JSON roundtrip") {
+    // terciles of the continuous target -> 3 ordered classes
+    val qs = df.stat.approxQuantile("target", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val labDf = df.withColumn("label",
+      when(col("target") <= qs(0), 0.0).when(col("target") <= qs(1), 1.0).otherwise(2.0))
+      .drop("target")
+    val (_, model) = AutoFeat.fitTransform(labDf, "label",
+      AutoFeatConfig(problemType = "classification", feategSteps = 2, nJobs = 5))
+    assert(model.multiClassifier.isDefined && model.classifier.isEmpty)
+    assert(model.multiClassifier.get.classes == Seq(0.0, 1.0, 2.0))
+    val acc = model.score(labDf, "label")
+    info(s"3-class accuracy=$acc selected=${model.goodCols.mkString(", ")}")
+    assert(acc >= 0.95, s"accuracy $acc")
+    // proba rows: 3 entries in [0,1] summing to 1
+    val x = labDf.drop("label")
+    val perRow = model.predictProba(x).select(
+      aggregate(col("probability"), lit(0.0), (a, v) => a + v).as("s"),
+      array_min(col("probability")).as("mn"), array_max(col("probability")).as("mx"),
+      size(col("probability")).as("k"))
+    val r = perRow.agg(min("s"), max("s"), min("mn"), max("mx"), min("k"), max("k")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9 && math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"proba rows must sum to 1: [${r.getDouble(0)}, ${r.getDouble(1)}]")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getInt(4) == 3 && r.getInt(5) == 3)
+    // predictions are valid class labels
+    val distinctPred = model.predict(x).select("prediction").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(distinctPred.subsetOf(Set(0.0, 1.0, 2.0)))
+    // JSON roundtrip: bit-identical predictions and probabilities
+    val loaded = ModelJson.fromJson(model.toJson)
+    assert(loaded.multiClassifier.isDefined)
+    val p1 = model.predict(x).select("prediction").collect().map(_.getDouble(0))
+    val p2 = loaded.predict(x).select("prediction").collect().map(_.getDouble(0))
+    assert(p1.toSeq == p2.toSeq)
+    val a1 = model.predictProba(x).select("probability").collect().map(_.getSeq[Double](0))
+    val a2 = loaded.predictProba(x).select("probability").collect().map(_.getSeq[Double](0))
+    assert(a1.toSeq == a2.toSeq)
+  }
+
+  test("one-hot cardinality guard rejects pseudo-categorical ID columns") {
+    val big = spark.range(300000).select(
+      col("id").cast("string").as("uid"),
+      (col("id") % 7).cast("double").as("x"))
+    val e = intercept[IllegalArgumentException] {
+      AutoFeat.transformCategoricalCols(big, Seq("uid"))
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+  }
+
   test("model JSON roundtrips formulas") {
     import graft.expr.{ExprJson, F, Var}
     val e = F.mul(F.sqrt(F.add(Var("x1"), Var("x2"))), F.recip(F.log(Var("x3"))))

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer vs the Python golden (tools/gen_bpe_golden.py trains the
+  * checked-in merges and tokenizes the test texts with the same rules).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(p: String) = getClass.getResource(p).getPath
+  lazy val model: BpeModel = BpeModel.loadFile(res("/fixtures/bpe_merges.txt"))
+  lazy val golden: Seq[(String, Int, Seq[String])] = {
+    val src = scala.io.Source.fromFile(res("/fixtures/bpe_golden.tsv"), "UTF-8")
+    try src.getLines().toVector.map { l =>
+      val parts = l.split("\t", -1)
+      (parts(0), parts(1).toInt,
+        if (parts.length < 3 || parts(2).isEmpty) Nil else parts(2).split(" ").toSeq)
+    } finally src.close()
+  }
+
+  test("driver-side tokenize matches the Python golden exactly") {
+    assert(model.merges.length == 200)
+    golden.foreach { case (text, n, toks) =>
+      val got = model.tokenize(text).toSeq
+      assert(got == toks, s"'$text': $got vs $toks")
+      assert(model.countTokens(text) == n)
+    }
+  }
+
+  test("native bpe_count column matches the golden through codegen") {
+    val df = golden.map(_._1).toDF("text").repartition(2)
+    val got = df.select(col("text"), BpeModel.countCol(col("text"), model).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    golden.foreach { case (text, n, _) =>
+      assert(got(text) == n, s"'$text': ${got(text)} vs $n")
+    }
+    // null text counts 0 through the expression's null handling (stays null)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(BpeModel.countCol(col("text"), model).as("n")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("counts are stable on the documents fixture and fallback stays available") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val r = docs.select(
+      BpeModel.countCol(col("text"), model).as("bpe"),
+      TextOps.tokenCount(col("text")).as("heuristic"))
+      .agg(sum("bpe"), sum("heuristic"), min("bpe")).collect()(0)
+    // subword counts exceed whitespace-word counts (merges never cross
+    // whitespace) and every doc tokenizes
+    assert(r.getLong(0) >= r.getLong(1), s"${r.getLong(0)} vs ${r.getLong(1)}")
+    assert(r.getInt(2) > 0)
+  }
+}

@@ -43,6 +43,35 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0)
   }
 
+  test("frontier components: parity on chain/star/clique + round count + convergence info") {
+    // mixed graph: a chain, a star, a clique — the frontier formulation must
+    // match full propagation exactly
+    val chain = (1L until 6L).map(i => (i, i + 1))
+    val star = (21L to 25L).map(i => (20L, i))
+    val clique = (for (a <- 30L to 33L; b <- (a + 1) to 33L) yield (a, b))
+    val pairs = (chain ++ star ++ clique).toDF("id1", "id2")
+    val r = Dedup.connectedComponentsWithInfo(pairs)
+    assert(r.converged)
+    val comp = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (1L to 6L).foreach(i => assert(comp(i) == 1L, s"$i -> ${comp(i)}"))
+    (20L to 25L).foreach(i => assert(comp(i) == 20L))
+    (30L to 33L).foreach(i => assert(comp(i) == 30L))
+    // a 99%-converged-in-round-1 graph (many 2-cliques) finishes in 2
+    // rounds: one round of changes, one empty-frontier confirmation
+    val flat = (0L until 100L).map(i => (2 * i, 2 * i + 1)).toDF("id1", "id2")
+    val rf = Dedup.connectedComponentsWithInfo(flat)
+    assert(rf.converged && rf.rounds == 2, s"rounds=${rf.rounds}")
+    assert(rf.labels.where(col("component") =!= col("id") - 1 && col("component") =!= col("id"))
+      .count() == 0)
+    // unconverged truncation is reported, not silent
+    val deep = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val rt = Dedup.connectedComponentsWithInfo(deep, maxIter = 2)
+    assert(!rt.converged && rt.rounds == 2)
+    val rOk = Dedup.connectedComponentsWithInfo(deep)
+    assert(rOk.converged)
+    assert(rOk.labels.where(col("component") =!= 1L).count() == 0)
+  }
+
   test("hub-star capped LSH pairs still resolve to one component") {
     // 6 identical docs, cap 3: every bucket overflows into a hub star —
     // connectivity must survive for the canonical-id resolution
@@ -149,6 +178,57 @@ class PipelineSpec extends SparkSpec {
     assert(run(4096) == run(1000000), "capped path changed results below the cap")
     assert(Similarity.suggestNCentroids(1000000L) == 1000)
     assert(Similarity.suggestNCentroids(10L) == 16)
+  }
+
+  test("two-level IVF: flat-probe bit parity, recall=1 vs brute at full probe, pruned recall") {
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(9)(Array.fill(8)(rng.nextGaussian()))
+    val data = (0 until 270).map { i =>
+      (i.toLong, centers(i % 9).map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(4).cache()
+    val sample = Similarity.sampleByKey(df, "vec_id", "embedding", 270)
+    val tlc = Similarity.trainTwoLevel(sample, k1 = 3, k2 = 3)
+    // with every coarse cell probed, the two-level probe must be
+    // BIT-IDENTICAL to the flat probe over the full fine matrix (exactness
+    // anchor for the pruned fast path)
+    val flat = df.select(col("vec_id"),
+      Similarity.probeClusters(col("embedding"), tlc.fineFlat, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val two = df.select(col("vec_id"),
+      Similarity.probeClustersTwoLevel(col("embedding"), tlc, nProbeCoarse = 3, nProbe = 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(flat == two, "two-level full probe diverged from flat probe")
+    // near-dup at FULL probing finds exactly the brute-force pair set
+    val nd = Similarity.ivfNearDupPairsTwoLevel(df, "vec_id", "embedding", tlc,
+      threshold = 0.95, nProbeCoarse = 3, nProbe = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.max(math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    val brute = (for {
+      (i, vi) <- all; (j, vj) <- all if i < j
+      if BigDecimal(cos(vi, vj)).setScale(5, BigDecimal.RoundingMode.HALF_UP) >= 0.95
+    } yield (i, j)).toSet
+    assert(nd == brute, s"missing=${(brute -- nd).take(5)} extra=${(nd -- brute).take(5)}")
+    // kNN at full probing == brute-force ranking
+    val queries = df.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceKnn(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    val k2full = Similarity.ivfKnnTwoLevel(df, queries, "vec_id", "embedding", 5, tlc,
+      nProbeCoarse = 3, nProbe = 9)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    assert(k2full == bf, "two-level full-probe kNN diverged from brute force")
+    // pruned probing still recalls most true neighbors on clustered data
+    val pruned = Similarity.ivfKnnTwoLevel(df, queries, "vec_id", "embedding", 5, tlc,
+      nProbeCoarse = 2, nProbe = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = bf.map { case ((q, _), n) => (q, n) }.toSet
+    val recall = (bfSet & pruned).size.toDouble / bfSet.size
+    info(s"two-level pruned recall = $recall")
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("ivf knn has high recall vs brute force on clustered data") {

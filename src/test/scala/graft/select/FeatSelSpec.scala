@@ -69,6 +69,23 @@ class FeatSelSpec extends SparkSpec {
     }
   }
 
+  test("multi-class selection unions per-class planted features") {
+    import spark.implicits._
+    // class 0 separates on c1, class 1 on c4, class 2 is the rest: the
+    // one-vs-rest union must recover {c1, c4} and drop the pure-noise cols
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(3000) {
+      val x = Array.fill(6)(rng.nextGaussian())
+      val lab = if (x(1) > 0.7) 0.0 else if (x(4) > 0.7) 1.0 else 2.0
+      (x(0), x(1), x(2), x(3), x(4), x(5), lab)
+    }
+    val mdf = rows.toDF("m0", "m1", "m2", "m3", "m4", "m5", "label").repartition(4).cache()
+    val good = FeatSel.selectFeatures(mdf, (0 until 6).map(i => s"m$i"), "label",
+      FeatSel.Config(problemType = "classification"))
+    assert(Set("m1", "m4").subsetOf(good.toSet), s"selected $good")
+    assert(good.size <= 4, s"too many false positives: $good")
+  }
+
   test("concurrent runs (nJobs) select the identical set in the same order") {
     // per-run randomness is derived from the run index alone, so overlapping
     // the runs on driver threads must not change the outcome

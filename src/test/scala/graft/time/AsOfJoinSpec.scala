@@ -97,6 +97,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plain.queryExecution.executedPlan.toString.contains("CoPartitionedUnion"))
   }
 
+  test("right-side-heavy key: ts-range salting with carry-in matches the unsalted join") {
+    val rng = new scala.util.Random(31)
+    // one key with a 3000-row right timeline (distinct ts -> deterministic
+    // payload pick on both paths) + normal keys
+    val hotTs = rng.shuffle((0 until 100000).toVector).take(3000)
+    val right = (hotTs.zipWithIndex.map { case (t, i) => ("hot", ts(t.toLong), i.toDouble) } ++
+      (0 until 100).map(i => (s"k${i % 5}", ts(rng.nextInt(100000).toLong), 10000.0 + i)))
+      .toDF("k", "ts", "v")
+    val left = ((0 until 400).map(_ => ("hot", ts(rng.nextInt(100000).toLong))) ++
+      (0 until 200).map(_ => (s"k${rng.nextInt(5)}", ts(rng.nextInt(100000).toLong)))).toDF("k", "ts")
+    def g(df: DataFrame) = df.groupBy("k", "ts").agg(sort_array(collect_list("asof_v")).as("vs"))
+    for (dir <- Seq("backward", "forward"); tol <- Seq[Option[Double]](None, Some(500.0))) {
+      val plain = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+        direction = dir, toleranceSecs = tol, skewKeys = Some(Nil))
+      val salted = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+        direction = dir, toleranceSecs = tol, skewKeys = Some(Nil),
+        rightSkewKeys = Some(Seq("hot")), salts = 4)
+      assert(g(salted).exceptAll(g(plain)).count() == 0 &&
+        g(plain).exceptAll(g(salted)).count() == 0, s"dir=$dir tol=$tol")
+    }
+    // detection scan (rightSkewKeys = None) finds the hot key and agrees too
+    val detected = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+      skewKeys = Some(Nil), rightSkewKeys = None, skewThreshold = 500L, salts = 4)
+    val plainB = AsOfJoin.asof(left, right, "k", "ts", Seq("v"), skewKeys = Some(Nil))
+    assert(g(detected).exceptAll(g(plainB)).count() == 0 &&
+      g(plainB).exceptAll(g(detected)).count() == 0)
+    // the hot key genuinely SPREADS across salts: percentile boundaries are
+    // strictly increasing and each ts-range holds a balanced share
+    val bounds = AsOfJoin.rangeBounds(left, right, "k", "ts", Seq("hot"), 4)
+    val bs = bounds("hot")
+    assert(bs.size == 3 && bs == bs.sorted && bs.distinct.size == 3, bs.toString)
+    val cnts = (0 until 4).map(s => hotTs.count(t => bs.count(b => t.toDouble >= b) == s))
+    info(s"per-salt right rows: $cnts")
+    assert(cnts.forall(c => c > 450 && c < 1100), cnts.toString)
+  }
+
   test("forward direction matches a forward window oracle, ties included") {
     val rng = new scala.util.Random(33)
     val left = (0 until 500).map(_ =>

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Train a small deterministic BPE vocabulary and emit goldens for the Scala
+tokenizer (graft.pipeline.Bpe):
+
+- src/test/resources/fixtures/bpe_merges.txt   — ranked merge list "a b"
+- src/test/resources/fixtures/bpe_golden.tsv   — text<TAB>count<TAB>tokens
+  (tokens space-joined; words never contain whitespace)
+
+Algorithm (Sennrich-style word-level BPE, character base):
+- normalize: lowercase, split on whitespace
+- a word's symbols start as its characters plus a terminal "</w>" marker
+- training: repeatedly merge the most frequent adjacent symbol pair over the
+  weighted corpus vocabulary; ties break lexicographically (deterministic)
+- application: repeatedly merge the LOWEST-RANK pair present in the word,
+  all occurrences left-to-right, until none applies
+
+The Scala side must reproduce token counts exactly (BpeSpec).
+"""
+import json
+import re
+from collections import Counter
+
+N_MERGES = 200
+EOW = "</w>"
+
+CORPUS = """
+the quick brown fox jumps over the lazy dog and the dog barks back
+large language models are trained on large corpora of text data
+spark executes distributed data processing pipelines at scale
+the training data pipeline deduplicates documents and counts tokens
+feature engineering transforms raw columns into model inputs
+conversations between users and assistants span many turns of dialogue
+tokenization splits text into subword units for the model vocabulary
+the optimizer rewrites the logical plan into an efficient physical plan
+streaming queries process unbounded feeds with bounded state
+embedding vectors support approximate nearest neighbor search
+quality scoring filters low quality documents from the corpus
+deterministic fixtures keep the test suite reproducible over time
+"""
+
+TEST_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "spark pipelines process large text corpora",
+    "tokenization of unseen words like zymurgy and quixotic",
+    "The Training DATA pipeline counts tokens",
+    "singleword",
+    "a b c",
+    "",
+]
+
+
+def words(text):
+    return [w for w in re.split(r"\s+", text.lower().strip()) if w]
+
+
+def train(corpus, n_merges):
+    vocab = Counter(tuple(w) + (EOW,) for w in words(corpus))
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, cnt in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        if not pairs:
+            break
+        # max count, ties lexicographic (deterministic)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = Counter()
+        for sym, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(word, ranks):
+    sym = list(word) + [EOW]
+    while True:
+        best_rank, best_pair = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            return sym
+        out = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best_pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+
+
+def main():
+    merges = train(CORPUS, N_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    with open("src/test/resources/fixtures/bpe_merges.txt", "w") as f:
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    golden = {}
+    for t in TEST_TEXTS:
+        toks = [tok for w in words(t) for tok in apply_bpe(w, ranks)]
+        golden[t] = [len(toks), toks]
+    with open("src/test/resources/fixtures/bpe_golden.tsv", "w") as f:
+        for t, (n, toks) in golden.items():
+            f.write(f"{t}\t{n}\t{' '.join(toks)}\n")
+    print(f"{len(merges)} merges; golden for {len(TEST_TEXTS)} texts")
+    for t in TEST_TEXTS[:3]:
+        print(repr(t), "->", golden[t][0], golden[t][1][:8])
+
+
+if __name__ == "__main__":
+    main()
