@@ -426,9 +426,11 @@ object AutoFeat {
     val model = if (cfg.problemType == "classification") {
       // K > 2 distinct labels -> multinomial softmax (sklearn
       // LogisticRegressionCV multi-class default); binary 0/1 keeps the
-      // sigmoid Newton-IRLS path
+      // sigmoid Newton-IRLS path. Binary labels OTHER than {0,1} (e.g.
+      // {1,2} or {-1,1}) also route to the softmax fit — the sigmoid
+      // path's balanced weights n/(2·Σy) assume 0/1 encoding.
       val classes = graft.select.Logistic.distinctClasses(fullDf, targetCol)
-      if (classes.size > 2) {
+      if (classes.size > 2 || classes != Seq(0.0, 1.0)) {
         val mm = graft.select.Logistic.fitMulti(fullDf, goodCols, targetCol, classes)
         AutoFeatModel(
           originalColumns, cfg.categoricalCols, feategCols, symToCol, newFeatCols,

@@ -246,6 +246,25 @@ object Logistic {
       if (!balanced) (1.0, 1.0)
       else (n / (2.0 * (n - nPos)), n / (2.0 * nPos)) // n/(k*n_c)
 
+    // internal standardization + step damping, same rationale as fitMulti:
+    // engineered-feature scales span orders of magnitude and undamped
+    // Newton can overshoot into non-finite coefficients; the model is
+    // de-transformed back to original units before returning
+    val statRow = data.agg(
+      count(lit(1)).as("__n"),
+      featureCols.indices.flatMap { i =>
+        val name = data.columns(i + 1)
+        val c = col(s"`${name.replace("`", "``")}`").cast("double")
+        val cl = when(isnan(c), lit(null)).otherwise(c)
+        Seq(avg(cl), stddev_pop(cl))
+      }: _*).collect()(0)
+    val mu = Array.tabulate(d - 1)(i => { val v = statRow.get(1 + 2 * i); if (v == null) 0.0 else v.asInstanceOf[Double] })
+    val sd = Array.tabulate(d - 1) { i =>
+      val v = statRow.get(2 + 2 * i)
+      val s = if (v == null) 0.0 else v.asInstanceOf[Double]
+      if (s > 0 && !s.isNaN) s else 1.0
+    }
+
     var beta = new Array[Double](d) // [intercept, coefs...]
     for (_ <- 0 until iters) {
       val b = beta
@@ -263,7 +282,10 @@ object Logistic {
           var i = 1
           while (i < d && ok) {
             if (r.isNullAt(i)) ok = false
-            else { x(i) = r.getDouble(i); if (x(i).isNaN) ok = false }
+            else {
+              x(i) = (r.getDouble(i) - mu(i - 1)) / sd(i - 1)
+              if (x(i).isNaN) ok = false
+            }
             i += 1
           }
           if (ok) {
@@ -303,10 +325,23 @@ object Logistic {
       var i = 1
       while (i < d) { grad(i) -= l2 * beta(i); hess(i)(i) += l2; i += 1 }
       hess(0)(0) += 1e-12
-      beta = beta.zip(solve(hess, grad)).map { case (bv, dv) => bv + dv }
+      // damped step (see fitMulti): cap the infinity norm on the
+      // standardized scale so quasi-separable designs can't blow up
+      val step = solve(hess, grad)
+      var mx = 0.0
+      i = 0
+      while (i < d) { val a = math.abs(step(i)); if (a > mx) mx = a; i += 1 }
+      val scale = if (mx.isNaN || mx.isInfinite) 0.0 else if (mx > 10.0) 10.0 / mx else 1.0
+      i = 0
+      while (i < d) { beta(i) += scale * step(i); i += 1 }
     }
     data.unpersist()
-    Model(featureCols, beta.drop(1), beta(0))
+    // de-standardize: coef_orig = coef_z / σ ; b0_orig = b0_z − Σ coef_z μ/σ
+    val coef = Array.tabulate(d - 1)(j => beta(j + 1) / sd(j))
+    var b0 = beta(0)
+    var j = 0
+    while (j < d - 1) { b0 -= beta(j + 1) * mu(j) / sd(j); j += 1 }
+    Model(featureCols, coef, b0)
   }
 
   /** Gaussian elimination with partial pivoting (d is tiny). */

@@ -199,6 +199,24 @@ class AutoFeatSpec extends SparkSpec {
     assert(a1.toSeq == a2.toSeq)
   }
 
+  test("binary labels other than {0,1} route to the softmax fit and classify correctly") {
+    val stats = df.agg(avg("target")).collect()(0).getDouble(0)
+    // labels {1, 2}: the sigmoid path's balanced weights assume 0/1, so
+    // this must go through the multinomial fit
+    val binDf = df.withColumn("label",
+      when(col("target") > stats, 2.0).otherwise(1.0)).drop("target")
+    val (_, model) = AutoFeat.fitTransform(binDf, "label",
+      AutoFeatConfig(problemType = "classification", feategSteps = 1, featselRuns = 2))
+    assert(model.multiClassifier.isDefined && model.classifier.isEmpty)
+    assert(model.multiClassifier.get.classes == Seq(1.0, 2.0))
+    val acc = model.score(binDf, "label")
+    info(s"labels{1,2} accuracy=$acc")
+    assert(acc >= 0.9, s"accuracy $acc")
+    val preds = model.predict(binDf.drop("label")).select("prediction").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(preds.subsetOf(Set(1.0, 2.0)), preds.toString)
+  }
+
   test("one-hot cardinality guard rejects pseudo-categorical ID columns") {
     val big = spark.range(300000).select(
       col("id").cast("string").as("uid"),
