@@ -235,29 +235,34 @@ object Dedup {
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    val compType = lab.schema("component").dataType
     var frontier = lab // round 1: every node is a (potential) change source
     var it = 0
     var converged = frontier.isEmpty // empty graph
     while (it < maxIter && !converged) {
+      // label rows carry their own label as __old; frontier messages carry
+      // null — ONE union + groupBy merges new labels AND recovers each
+      // node's previous label (max ignores nulls, and exactly one lab row
+      // exists per id), so the round costs one aggregation exchange + the
+      // jump join, not a separate candidate aggregate + left join
       val msgs = edges.join(
           frontier.select(col("id").as("__fid"), col("component").as("__fcomp")),
           edges("src") === col("__fid"))
-        .select(col("dst").as("id"), col("__fcomp").as("component"))
-      val cand = msgs.groupBy("id").agg(min("component").as("__cand"))
-      val merged = lab.join(cand, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__cand"), col("component"))).as("__ncomp"),
-          col("component").as("__old"))
+        .select(col("dst").as("id"), col("__fcomp").as("component"),
+          lit(null).cast(compType).as("__old"))
+      val prop = lab.select(col("id"), col("component"), col("component").as("__old"))
+        .union(msgs)
+        .groupBy("id").agg(min("component").as("__ncomp"), max("__old").as("__old"))
       // pointer jumping (path halving): component := component's component.
       // Edge propagation alone needs diameter-many rounds — a 10^6-long
       // near-dup chain would mean 10^6 joins; squaring the pointer graph
       // each round cuts that to O(log diameter). Labels are node ids, so
-      // every component value has a row in `merged` (left+coalesce guards
+      // every component value has a row in `prop` (left+coalesce guards
       // the in-flight round anyway). The jump join runs against the FULL
       // frame so decreased jump targets reach their dependents next round.
-      val jump = merged.select(col("id").as("__jid"), col("__ncomp").as("__jcomp"))
-      val next = merged.join(jump, merged("__ncomp") === jump("__jid"), "left")
-        .select(merged("id"),
+      val jump = prop.select(col("id").as("__jid"), col("__ncomp").as("__jcomp"))
+      val next = prop.join(jump, prop("__ncomp") === jump("__jid"), "left")
+        .select(prop("id"),
           coalesce(col("__jcomp"), col("__ncomp")).as("component"),
           col("__old"))
         .localCheckpoint(true) // truncates lineage — see the Lineage note
