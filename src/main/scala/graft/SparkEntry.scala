@@ -293,6 +293,20 @@ object SparkEntry {
         cents, threshold = 0.45, nProbe = 4)
     }),
 
+    // ---- two-level-quantizer near-dup (the sharded path for corpora past
+    // the flat-centroid clamp): coarse cells -> per-cell fine clusters,
+    // same bucketed pair machinery on global fine ids. Probe fan-out is
+    // sized for recall 1 on this data, so the brute-force SQL is the oracle
+    "q_ivf2_neardup" -> ((s, dir) => {
+      import graft.pipeline.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val sample = Similarity.sampleByKey(e, "vec_id", "embedding", 256)
+      val tlc = Similarity.trainTwoLevel(sample, 4, 4)
+      Similarity.ivfNearDupPairsTwoLevel(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        tlc, threshold = 0.45, nProbeCoarse = 3, nProbe = 8)
+    }),
+
     // ---- brute-force cosine top-5 for the first 5 vectors. Ranks directly
     // on the ROUNDED cosine (so ulp-level engine differences can't flip
     // neighbor order vs the oracle): ONE window pass, eligible for
@@ -628,6 +642,17 @@ object SparkEntry {
         |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.3""".stripMargin,
 
     "q_ivf_neardup" ->
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) AS rcos
+        |FROM ed a, ed b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.45""".stripMargin,
+
+    "q_ivf2_neardup" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |            FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
