@@ -404,6 +404,14 @@ object Drive {
       val bc = Seq("the quick brown fox", "", "zzz qqq").toDF("text")
         .select(BpeModel.countCol(col("text"), bpe).as("n")).collect().map(_.getInt(0)).toSeq
       println(s"BPE_COUNTS=$bc (expect head 8, then 0)")
+      // streaming as-of (batch execution) vs the batch join
+      import graft.time.StreamingAsOf
+      val sLeft = Seq(("c", new java.sql.Timestamp(5000)), ("c", new java.sql.Timestamp(15000)))
+        .toDF("k", "ts")
+      val sRight = Seq(("c", new java.sql.Timestamp(10000), 7.0)).toDF("k", "ts", "v")
+      val sGot = StreamingAsOf.asof(sLeft, sRight, "k", "ts", Seq("v"))
+        .orderBy("ts").select("asof_v").collect().map(r => Option(r.get(0))).toSeq
+      println(s"STREAM_ASOF=$sGot (expect None then Some(7.0))")
       // streaming near-dup batch fallback
       import graft.pipeline.StreamingNearDup
       val nd = Seq((1L, "alpha beta gamma delta epsilon zeta", new java.sql.Timestamp(1000)),
