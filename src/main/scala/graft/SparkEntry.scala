@@ -158,6 +158,16 @@ object SparkEntry {
         graft.pipeline.TextOps.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // ---- repetition quality signals (Gopher-style boilerplate detection):
+    // duplicate-line fraction + most-frequent-token fraction, pure HOFs
+    "q_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(
+        col("doc_id"),
+        round(graft.pipeline.TextOps.dupLineRatio(col("text")), 6).as("dup_line_ratio"),
+        round(graft.pipeline.TextOps.topWordRatio(col("text")), 6).as("top_word_ratio"))
+    }),
+
     // ---- exact dedup by normalized-text fingerprint (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -412,6 +422,24 @@ object SparkEntry {
         |  , 6) AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> len(l) > 0) AS lines,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN len(lines) <= 0 THEN 0.0
+        |    ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) END, 6)
+        |    AS dup_line_ratio,
+        |  ROUND(CASE WHEN len(toks) <= 0 THEN 0.0
+        |    ELSE list_max(list_transform(list_distinct(toks),
+        |           w -> len(list_filter(toks, x -> x = w)))) * 1.0 / len(toks) END, 6)
+        |    AS top_word_ratio
+        |FROM t""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents),

@@ -88,4 +88,29 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // -------------------------------------------- repetition (Gopher-style)
+  /** Fraction of non-empty (trimmed) lines that are duplicates of an
+    * earlier line — the classic boilerplate/navigation-chrome signal.
+    * 0.0 for documents with no non-empty lines.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) <= 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+  }
+
+  /** Fraction of tokens taken by the single most frequent (lowercased)
+    * token — degenerate keyword-stuffed or repeated-word documents score
+    * near 1. O(distinct · tokens) per row in pure HOFs (no shuffle);
+    * 0.0 for empty documents.
+    */
+  def topWordRatio(text: Column): Column = {
+    val toks = filter(tokens(lower(text)), t => length(t) > 0)
+    when(size(toks) <= 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(toks),
+        w => size(filter(toks, t => t === w)))).cast("double") /
+        size(toks).cast("double"))
+  }
 }

@@ -122,6 +122,22 @@ class PipelineSpec extends SparkSpec {
     assert(r(0).getDouble(3) > 0 && r(0).getDouble(3) <= 1.0)
   }
 
+  test("repetition signals: duplicate-line and top-word fractions") {
+    val df = Seq(
+      (1L, "nav menu\nnav menu\ncontent here"),
+      (2L, "spam spam spam ham"),
+      (3L, ""),
+      (4L, "all lines unique\nsecond line\nthird line")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextOps.dupLineRatio(col("text")).as("d"),
+        TextOps.topWordRatio(col("text")).as("w")).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(math.abs(r(1L)._1 - 1.0 / 3) < 1e-9, r(1L).toString)
+    assert(math.abs(r(2L)._2 - 0.75) < 1e-9, r(2L).toString)
+    assert(r(3L) == ((0.0, 0.0)), r(3L).toString)
+    assert(r(4L)._1 == 0.0)
+  }
+
   lazy val embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
   test("brute-force knn matches a driver-side computation") {
