@@ -244,8 +244,9 @@ object Similarity {
     * keeps the expected cluster population at √N — small enough that even a
     * few-× skewed cluster stays under a reasonable `maxClusterSize`. Clamped
     * to [16, 65536]: below 16 clusters prune nothing, above 64k the
-    * broadcast centroid table and per-row argmax stop being cheap (at that
-    * point shard the corpus and train a two-level quantizer instead).
+    * broadcast centroid table and per-row argmax stop being cheap — past
+    * the clamp, switch to the two-level quantizer ([[trainTwoLevel]] /
+    * [[ivfNearDupPairsTwoLevel]] / [[ivfKnnTwoLevel]], k1 ≈ k2 ≈ N^(1/4)).
     */
   def suggestNCentroids(corpusSize: Long): Int =
     math.max(16, math.min(65536, math.round(math.sqrt(corpusSize.toDouble)))).toInt
