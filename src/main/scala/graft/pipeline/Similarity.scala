@@ -90,7 +90,10 @@ object Similarity {
   def trainCentroidsFromSample(sample: Array[Array[Double]], nCentroids: Int,
                                iters: Int = 10): Array[Array[Double]] = {
     require(sample.length >= nCentroids, "sample smaller than centroid count")
-    var cents = sample.distinct.take(nCentroids).map(_.clone)
+    // init = the first nCentroids sample points, duplicates included (Lloyd
+    // tolerates duplicate seeds; a value-distinct here would change the
+    // golden-pinned centroid layouts for no correctness gain)
+    var cents = sample.take(nCentroids).map(_.clone)
     val dim = cents(0).length
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCentroids)(new Array[Double](dim))
@@ -337,7 +340,9 @@ object Similarity {
     val byCell = sample.groupBy(v => nearest(coarse, v))
     val fine = (0 until k1).flatMap { c =>
       val cell = byCell.getOrElse(c, Array.empty[Array[Double]])
-      val distinct = cell.distinct
+      // distinct BY VALUE: Array equality is reference equality, and every
+      // collected row is a fresh instance — a bare .distinct never dedupes
+      val distinct = cell.map(_.toSeq).distinct.map(_.toArray)
       val cellCents =
         if (distinct.length >= k2) trainCentroidsFromSample(cell, k2, iters)
         else distinct ++ Array.fill(k2 - distinct.length)(coarse(c).clone)

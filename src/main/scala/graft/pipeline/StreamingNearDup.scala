@@ -47,12 +47,16 @@ object StreamingNearDup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val src = if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs
+    // signature materialized in its own select: referenced once per BAND by
+    // the banding transform, so inlining it would recompute the full
+    // signature (every n-gram hashed, numHashes array_min reductions)
+    // `bands` times per row — same shape as the batch lshCandidatePairs
     val banded = src.select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        Dedup.minhashSignature(col(textCol), numHashes, n).as("__sig"))
+      .select(col("doc_id"), col("ts"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("_", slice(
-            Dedup.minhashSignature(col(textCol), numHashes, n), b * rowsPerBand + 1,
-            lit(rowsPerBand)))
+          b => concat_ws("_", slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
         )).as(Seq("band", "bucket")))
       .as[BandRow]
     banded.groupByKey(r => (r.band, r.bucket))

@@ -320,6 +320,8 @@ object FeatSel {
                      cfg: Config = Config()): Seq[String] = {
     val isClf = cfg.problemType == "classification"
     require(isClf || cfg.problemType == "regression", s"unknown problemType ${cfg.problemType}")
+    require(cfg.solver == "cd" || cfg.solver == "lars",
+      s"unknown solver ${cfg.solver} (expected cd|lars)")
     if (isClf) {
       // Multi-class: per-class one-vs-rest one-step quadratics — each class
       // runs the full binary selection flow on a binarized target, and the

@@ -40,23 +40,32 @@ private[select] object GramOps {
     g
   }
 
-  /** Held-out MSE of (beta, intercept over train means) on fold Gram. */
+  /** Held-out MSE of (beta, intercept over train means) on fold Gram.
+    * Loops run over the ACTIVE (nonzero-beta) coordinates only — lasso
+    * solutions are sparse, and the LARS CV evaluates this at every knot of
+    * every fold's path, so the dense d² quadratic form would dominate the
+    * whole selection; zero terms contribute nothing either way.
+    */
   def foldMse(fold: Gram, idx: Array[Int], beta: Array[Double],
               muTrain: Array[Double], muYTrain: Double): Double = {
     val nf = fold.sw
     if (nf <= 0) return Double.NaN
     val b0 = muYTrain - dot(muTrain, beta)
+    val act = Array.newBuilder[Int]
+    var t = 0
+    while (t < beta.length) { if (beta(t) != 0.0) act += t; t += 1 }
+    val a = act.result()
     var quad = 0.0
     var i = 0
-    while (i < idx.length) {
+    while (i < a.length) {
       var j = 0
-      while (j < idx.length) { quad += beta(i) * beta(j) * fold.xx(idx(i), idx(j)); j += 1 }
+      while (j < a.length) { quad += beta(a(i)) * beta(a(j)) * fold.xx(idx(a(i)), idx(a(j))); j += 1 }
       i += 1
     }
     var lin = 0.0
     var sxb = 0.0
     i = 0
-    while (i < idx.length) { lin += beta(i) * fold.sxy(idx(i)); sxb += beta(i) * fold.sx(idx(i)); i += 1 }
+    while (i < a.length) { lin += beta(a(i)) * fold.sxy(idx(a(i))); sxb += beta(a(i)) * fold.sx(idx(a(i))); i += 1 }
     (fold.syy - 2.0 * lin + quad - 2.0 * b0 * fold.sy + 2.0 * b0 * sxb + nf * b0 * b0) / nf
   }
 

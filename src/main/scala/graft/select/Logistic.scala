@@ -61,6 +61,45 @@ object Logistic {
     }
   }
 
+  /** NaN-aware per-feature mean / population-std over `data`'s columns
+    * 1..d-1 (column 0 = label), for the internal standardization both fits
+    * share; zero/NaN std falls back to 1 (constant columns pass through).
+    */
+  private def columnStats(data: DataFrame, d: Int): (Array[Double], Array[Double]) = {
+    val statRow = data.agg(
+      count(lit(1)).as("__n"),
+      (1 until d).flatMap { i =>
+        val name = data.columns(i)
+        val c = col(s"`${name.replace("`", "``")}`").cast("double")
+        val cl = when(isnan(c), lit(null)).otherwise(c)
+        Seq(avg(cl), stddev_pop(cl))
+      }: _*).collect()(0)
+    val mu = Array.tabulate(d - 1) { i =>
+      val v = statRow.get(1 + 2 * i); if (v == null) 0.0 else v.asInstanceOf[Double]
+    }
+    val sd = Array.tabulate(d - 1) { i =>
+      val v = statRow.get(2 + 2 * i)
+      val s = if (v == null) 0.0 else v.asInstanceOf[Double]
+      if (s > 0 && !s.isNaN) s else 1.0
+    }
+    (mu, sd)
+  }
+
+  /** In-place damped Newton update: beta += step scaled so the step's
+    * infinity norm stays <= 10 on the standardized scale (0 when
+    * non-finite) — quasi-separable or collinear designs otherwise
+    * overshoot into non-finite coefficients and the fit silently
+    * degenerates to a constant predictor.
+    */
+  private def dampedAdd(beta: Array[Double], step: Array[Double]): Unit = {
+    var mx = 0.0
+    var i = 0
+    while (i < step.length) { val a = math.abs(step(i)); if (a > mx) mx = a; i += 1 }
+    val scale = if (mx.isNaN || mx.isInfinite) 0.0 else if (mx > 10.0) 10.0 / mx else 1.0
+    i = 0
+    while (i < step.length) { beta(i) += scale * step(i); i += 1 }
+  }
+
   /** Sorted distinct label values (one small aggregate). */
   def distinctClasses(df: DataFrame, labelCol: String): Seq[Double] =
     df.select(col(s"`${labelCol.replace("`", "``")}`").cast("double").as("__y"))
@@ -86,7 +125,10 @@ object Logistic {
       .map(c => col(s"`${c.replace("`", "``")}`").cast("double")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lq = col(s"`${labelCol.replace("`", "``")}`").cast("double")
-    val countRows = data.groupBy(lq.as("__y")).agg(count(lit(1)).as("__n")).collect()
+    // null/NaN labels are skipped by the Newton pass below; skip them in
+    // the class counts too (a null-key group would NPE Row.getDouble)
+    val countRows = data.where(lq.isNotNull && !isnan(lq))
+      .groupBy(lq.as("__y")).agg(count(lit(1)).as("__n")).collect()
     val nByClass = countRows.map(r => r.getDouble(0) -> r.getLong(1)).toMap
     val n = nByClass.values.sum.toDouble
     val clsArr = classes.toArray
@@ -98,20 +140,7 @@ object Logistic {
     // overshoot into non-finite coefficients. Fit on z = (x−μ)/σ and
     // de-transform exactly afterwards — the returned model is in ORIGINAL
     // feature units, so serving columns are unaffected.
-    val statRow = data.agg(
-      count(lit(1)).as("__n"),
-      featureCols.indices.flatMap { i =>
-        val name = data.columns(i + 1)
-        val c = col(s"`${name.replace("`", "``")}`").cast("double")
-        val cl = when(isnan(c), lit(null)).otherwise(c)
-        Seq(avg(cl), stddev_pop(cl))
-      }: _*).collect()(0)
-    val mu = Array.tabulate(d - 1)(i => { val v = statRow.get(1 + 2 * i); if (v == null) 0.0 else v.asInstanceOf[Double] })
-    val sd = Array.tabulate(d - 1) { i =>
-      val v = statRow.get(2 + 2 * i)
-      val s = if (v == null) 0.0 else v.asInstanceOf[Double]
-      if (s > 0 && !s.isNaN) s else 1.0
-    }
+    val (mu, sd) = columnStats(data, d)
 
     var beta = new Array[Double](p)
     for (_ <- 0 until iters) {
@@ -206,17 +235,7 @@ object Logistic {
         else hess(i)(i) += 1e-12
         i += 1
       }
-      // damped Newton: cap the step's infinity norm (standardized scale, so
-      // 10 is generous) — quasi-separable or collinear designs otherwise
-      // overshoot into non-finite coefficients and the fit silently
-      // degenerates to a constant predictor
-      val step = solve(hess, grad)
-      var mx = 0.0
-      i = 0
-      while (i < p) { val a = math.abs(step(i)); if (a > mx) mx = a; i += 1 }
-      val scale = if (mx.isNaN || mx.isInfinite) 0.0 else if (mx > 10.0) 10.0 / mx else 1.0
-      i = 0
-      while (i < p) { beta(i) += scale * step(i); i += 1 }
+      dampedAdd(beta, solve(hess, grad))
     }
     data.unpersist()
     // de-standardize: coef_orig = coef_z / σ ; b0_orig = b0_z − Σ coef_z μ/σ
@@ -246,24 +265,9 @@ object Logistic {
       if (!balanced) (1.0, 1.0)
       else (n / (2.0 * (n - nPos)), n / (2.0 * nPos)) // n/(k*n_c)
 
-    // internal standardization + step damping, same rationale as fitMulti:
-    // engineered-feature scales span orders of magnitude and undamped
-    // Newton can overshoot into non-finite coefficients; the model is
-    // de-transformed back to original units before returning
-    val statRow = data.agg(
-      count(lit(1)).as("__n"),
-      featureCols.indices.flatMap { i =>
-        val name = data.columns(i + 1)
-        val c = col(s"`${name.replace("`", "``")}`").cast("double")
-        val cl = when(isnan(c), lit(null)).otherwise(c)
-        Seq(avg(cl), stddev_pop(cl))
-      }: _*).collect()(0)
-    val mu = Array.tabulate(d - 1)(i => { val v = statRow.get(1 + 2 * i); if (v == null) 0.0 else v.asInstanceOf[Double] })
-    val sd = Array.tabulate(d - 1) { i =>
-      val v = statRow.get(2 + 2 * i)
-      val s = if (v == null) 0.0 else v.asInstanceOf[Double]
-      if (s > 0 && !s.isNaN) s else 1.0
-    }
+    // internal standardization + step damping, same rationale as fitMulti
+    // (see columnStats/dampedAdd); model de-transformed to original units
+    val (mu, sd) = columnStats(data, d)
 
     var beta = new Array[Double](d) // [intercept, coefs...]
     for (_ <- 0 until iters) {
@@ -325,15 +329,7 @@ object Logistic {
       var i = 1
       while (i < d) { grad(i) -= l2 * beta(i); hess(i)(i) += l2; i += 1 }
       hess(0)(0) += 1e-12
-      // damped step (see fitMulti): cap the infinity norm on the
-      // standardized scale so quasi-separable designs can't blow up
-      val step = solve(hess, grad)
-      var mx = 0.0
-      i = 0
-      while (i < d) { val a = math.abs(step(i)); if (a > mx) mx = a; i += 1 }
-      val scale = if (mx.isNaN || mx.isInfinite) 0.0 else if (mx > 10.0) 10.0 / mx else 1.0
-      i = 0
-      while (i < d) { beta(i) += scale * step(i); i += 1 }
+      dampedAdd(beta, solve(hess, grad))
     }
     data.unpersist()
     // de-standardize: coef_orig = coef_z / σ ; b0_orig = b0_z − Σ coef_z μ/σ

@@ -79,6 +79,17 @@ class MultiLogisticSpec extends SparkSpec {
     assert(r2bal > 0.5, s"balanced recall $r2bal")
   }
 
+  test("null/NaN labels are skipped, not fatal") {
+    val withNull = df.withColumn("label",
+      when(col("x") > 2.5, lit(null)).otherwise(col("label")))
+    val mm = Logistic.fitMulti(withNull, Seq("x", "y"), "label", Seq(0.0, 1.0, 2.0))
+    assert(mm.coef.flatten.forall(v => !v.isNaN && !v.isInfinite))
+    // rows with null labels contribute nothing; the fit still classifies
+    val acc = withNull.where(col("label").isNotNull)
+      .agg(avg((mm.predictCol === col("label")).cast("double"))).collect()(0).getDouble(0)
+    assert(acc > 0.6, s"acc $acc")
+  }
+
   test("binary labels through fitMulti agree with the sigmoid model") {
     val bin = df.withColumn("label", (col("label") === 0.0).cast("double")).cache()
     val mm = Logistic.fitMulti(bin, Seq("x", "y"), "label", Seq(0.0, 1.0))
