@@ -53,4 +53,29 @@ object Tables {
     case "parquet" => df.write.mode("overwrite").parquet(nameOrPath)
     case other => df.write.format(other).mode("overwrite").save(nameOrPath)
   }
+
+  /** Write a frame hash-BUCKETED (and optionally sorted) by `key` into the
+    * session catalog — the co-located-join layout: two tables bucketed the
+    * same way join (and aggregate on the bucket key) with ZERO exchange,
+    * because FileSourceScanExec reports HashPartitioning(key, buckets) and
+    * EnsureRequirements sees the join's distribution already satisfied.
+    * At 10^12 rows this is the difference between re-shuffling the full
+    * transcript table per join and reading co-located splits.
+    *
+    * Catalog tables only (`saveAsTable` — bare parquet paths cannot carry
+    * bucket metadata); Iceberg mode gets the same effect from its
+    * `bucket(N, key)` partition transform at table-creation time, so this
+    * helper covers the local/parquet side of the format split. Sorting
+    * within buckets additionally removes the join's Sort (sort-merge join
+    * reads presorted splits).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Read a catalog table written by [[writeBucketed]]. */
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
