@@ -422,6 +422,18 @@ object Drive {
         .map(p => s"(${p.id1},${p.id2})").sorted.mkString(" ")
       println(s"STREAM_NEARDUP=$ndp (expect (1,2))")
     }
+    // round 4: numpy-legacy RNG parity layer (bit-level vs np.random goldens)
+    {
+      import graft.rng.NumpyRandom
+      val p0 = NumpyRandom(0L).permutation(13).take(4).mkString(",")
+      println(s"NPRNG_PERM=$p0 (expect 6,11,4,10 head of np.random.seed(0);permutation(13))")
+      val g = NumpyRandom(0L).nextGauss()
+      println(f"NPRNG_GAUSS=$g%.17g (expect 1.7640523e+00 = np.random.seed(0);randn())")
+      // hostile: max uint32 seed, degenerate permutation sizes
+      val hp = NumpyRandom(0xffffffffL)
+      println(s"NPRNG_EDGE=${hp.permutation(0).length},${hp.permutation(1).mkString}," +
+        f"${NumpyRandom(1L).nextDouble()}%.6f")
+    }
     spark.stop()
   }
 }
