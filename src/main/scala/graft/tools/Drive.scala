@@ -434,6 +434,25 @@ object Drive {
       println(s"NPRNG_EDGE=${hp.permutation(0).length},${hp.permutation(1).mkString}," +
         f"${NumpyRandom(1L).nextDouble()}%.6f")
     }
+    // round 4: reference-literal selection mirror (NumpyParity)
+    {
+      import graft.select.NumpyParity
+      val rng = new scala.util.Random(7)
+      val n = 80
+      val x = Array.tabulate(n, 6)((_, _) => rng.nextGaussian())
+      val y = Array.tabulate(n)(i => 3.0 * x(i)(0) - 2.0 * x(i)(4) + 0.05 * rng.nextGaussian())
+      val t = NumpyParity.selectFeatures(x, y, featselRuns = 3)
+      println(s"NPPARITY_SEL=${t.finalSelected.sorted.mkString(",")} (expect 0,4 planted)")
+      // hostile: a constant column (std=0 -> scaled 0/0=NaN poisons the
+      // Gram, zeroing every coefficient -> empty selection, no crash; the
+      // reference itself rejects NaN matrices at check_X_y, so any
+      // non-crashing degenerate result is acceptable — what matters is the
+      // twin solver does the identical thing)
+      val xc = Array.tabulate(n, 3)((i, j) => if (j == 1) 5.0 else x(i)(j))
+      val yc = Array.tabulate(n)(i => 2.0 * xc(i)(0) + 0.05 * rng.nextGaussian())
+      val tc = NumpyParity.selectFeatures(xc, yc, featselRuns = 2)
+      println(s"NPPARITY_CONSTCOL=[${tc.finalSelected.sorted.mkString(",")}] (expect [] — NaN-poisoned Gram, no crash)")
+    }
     spark.stop()
   }
 }
