@@ -333,6 +333,55 @@ object SparkEntry {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .select(col("query_id"), col("rk").cast("long").as("rk"),
           col("neighbor_id"), col("rcos"))
+    }),
+
+    // ---- sequence packing, concat-and-split layout: per shard, docs are
+    // concatenated in id order and the token stream is cut every 512
+    // tokens (pure window arithmetic — one shuffle + one sort)
+    "q_pack" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("tok", graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      graft.pipeline.Pack.concatChunk(d, "doc_id", "tok", budget = 512, nShards = 8)
+    }),
+
+    // ---- sequence packing, greedy no-split bins (the linear per-shard
+    // recurrence; oracle = recursive CTE running the same recurrence)
+    "q_pack_greedy" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("tok", graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      graft.pipeline.Pack.greedyPack(d, "doc_id", "tok", budget = 256L, nShards = 8)
+    }),
+
+    // ---- deterministic stratified sampling by language (md5-keyed
+    // Bernoulli — map-side filter, bit-reproducible in any engine)
+    "q_stratified" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Sampling.stratifiedSample(d, "doc_id", "lang",
+          Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.25), seed = 3)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- token-budget data mixing: per source, keep the hash-ranked
+    // prefix of docs whose running token total fits the source's budget
+    "q_mix" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("tok", graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      graft.pipeline.Sampling.tokenBudgetMix(d, "doc_id", "tok", "source",
+          Map("src0" -> 800L, "src1" -> 400L, "src2" -> 5000L), seed = 1)
+        .select(col("doc_id"), col("source"), col("mix_rank"), col("cum_tokens"))
+    }),
+
+    // ---- benchmark-contamination flagging: every 20th doc plays the
+    // benchmark; corpus docs sharing >= 3 distinct trigrams are flagged
+    // (benchmark grams broadcast; only matches reach the agg shuffle)
+    "q_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      graft.pipeline.Contamination
+        .flagContaminated(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
+        .select(col("doc_id"), col("n_overlap"),
+          col("contaminated").cast("int").as("contaminated"))
     })
   )
 
@@ -703,6 +752,79 @@ object SparkEntry {
         |      e.vec_id) AS BIGINT) AS rk
         |  FROM (SELECT * FROM ed WHERE vec_id < 5) q, ed e
         |  WHERE e.vec_id <> q.vec_id)
-        |WHERE rk <= 5""".stripMargin
+        |WHERE rk <= 5""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM d)
+        |SELECT doc_id, shard, tok_end - tok AS tok_start,
+        |  CAST(FLOOR((tok_end - tok) / 512.0) AS BIGINT) AS chunk_first,
+        |  CAST(FLOOR((tok_end - 1) / 512.0) AS BIGINT) AS chunk_last
+        |FROM c""".stripMargin,
+
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, tok, rn, CAST(0 AS BIGINT) AS bin, tok AS running
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.shard, s.tok, s.rn,
+        |    CASE WHEN p.running + s.tok > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.running + s.tok > 256 THEN s.tok ELSE p.running + s.tok END
+        |  FROM d s JOIN packed p ON s.shard = p.shard AND s.rn = p.rn + 1)
+        |SELECT doc_id, shard, bin FROM packed""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat_ws(':', 3, CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.0 END""".stripMargin,
+
+    "q_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS tok,
+        |    CAST(concat('0x', substr(md5(concat_ws(':', 1, CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS mix_rank,
+        |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d WINDOW w AS (PARTITION BY source ORDER BY u, doc_id))
+        |SELECT doc_id, source, mix_rank, cum_tokens FROM r
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400 ELSE 5000 END""".stripMargin,
+
+    "q_contamination" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3]))) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 20 <> 0),
+        |cnt AS (
+        |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(cnt.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(cnt.n_overlap, 0) >= 3 AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |WHERE d.doc_id % 20 <> 0""".stripMargin
   )
 }

@@ -453,6 +453,44 @@ object Drive {
       val tc = NumpyParity.selectFeatures(xc, yc, featselRuns = 2)
       println(s"NPPARITY_CONSTCOL=[${tc.finalSelected.sorted.mkString(",")}] (expect [] — NaN-poisoned Gram, no crash)")
     }
+    // round 4: corpus curation — packing, deterministic sampling/mixing,
+    // contamination flagging + hostile probes (empty corpus, tiny budgets)
+    {
+      import spark.implicits._
+      import graft.pipeline.{Contamination, Pack, Sampling}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("tok", graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      val cc = Pack.concatChunk(docs, "doc_id", "tok", budget = 128, nShards = 4)
+      // per shard: tok_start strictly increasing, contiguous stream
+      val gaps = cc.withColumn("nxt", lead("tok_start", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")))
+        .join(docs.select("doc_id", "tok"), "doc_id")
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("tok_start") + greatest(col("tok"), lit(1L)))
+        .count()
+      println(s"PACK_CONCAT stream_gaps=$gaps (expect 0) rows=${cc.count()}")
+      val gp = Pack.greedyPack(docs, "doc_id", "tok", budget = 200L, nShards = 4)
+      val over = gp.join(docs.select("doc_id", "tok"), "doc_id")
+        .groupBy("shard", "bin").agg(sum("tok").as("t"), count(lit(1)).as("n"))
+        .filter(col("t") > 200 && col("n") > 1).count()
+      println(s"PACK_GREEDY overfull_multi_bins=$over (expect 0) bins=${gp.select("shard", "bin").distinct().count()}")
+      // hostile: budget 1 -> every doc its own bin
+      val solo = Pack.greedyPack(docs.limit(50), "doc_id", "tok", budget = 1L, nShards = 1)
+      println("PACK_BUDGET1_BINS=" + solo.select("bin").distinct().count() + " of " + solo.count())
+      println("PACK_EMPTY=" + Pack.greedyPack(docs.limit(0), "doc_id", "tok", 10L, 2).count())
+      val samp = Sampling.hashSample(docs, "doc_id", 0.25, seed = 9)
+      println(s"HASHSAMPLE n=${samp.count()} of ${docs.count()} (expect ~25%)")
+      val mix = Sampling.tokenBudgetMix(docs, "doc_id", "tok", "source",
+        Map("src0" -> 300L, "src1" -> 100L), seed = 2)
+      mix.groupBy("source").agg(max("cum_tokens"), count(lit(1))).show()
+      val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val flags = Contamination.flagContaminated(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        bench, "doc_id", "text", n = 3, minOverlap = 3)
+      println("CONTAM flagged=" + flags.filter(col("contaminated")).count() +
+        " of " + flags.count())
+      // hostile: empty benchmark -> nothing flagged, no crash
+      println("CONTAM_EMPTYBENCH=" + Contamination.flagContaminated(
+        docs.limit(20), bench.limit(0), "doc_id", "text").filter(col("contaminated")).count())
+    }
     spark.stop()
   }
 }

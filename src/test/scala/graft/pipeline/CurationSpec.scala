@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing, deterministic sampling/mixing, and contamination
+  * flagging — the corpus-curation operators.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Pack.concatChunk --------------------------------------------------
+
+  test("concatChunk: hand-computed offsets and chunk spans (one shard)") {
+    // docs in id order with token counts 4, 3, 5, 2; budget 6
+    val docs = Seq((0L, 4L), (1L, 3L), (2L, 5L), (3L, 2L)).toDF("doc_id", "tok")
+    val out = Pack.concatChunk(docs, "doc_id", "tok", budget = 6, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_start", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // stream: [0,4) [4,7) [7,12) [12,14) over chunks of 6 tokens
+    assert(out === Seq(
+      (0L, 0L, 0L, 0L),   // tokens 0..3   -> chunk 0
+      (1L, 4L, 0L, 1L),   // tokens 4..6   -> spans chunks 0-1
+      (2L, 7L, 1L, 1L),   // tokens 7..11  -> chunk 1
+      (3L, 12L, 2L, 2L))) // tokens 12..13 -> chunk 2
+  }
+
+  test("concatChunk: shards are independent streams; zero-token docs clamp to 1") {
+    val docs = Seq((0L, 5L), (1L, 0L), (2L, 5L), (3L, 7L)).toDF("doc_id", "tok")
+    val out = Pack.concatChunk(docs, "doc_id", "tok", budget = 4, nShards = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "tok_start", "chunk_first", "chunk_last")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // shard 0: ids 0,2 -> streams [0,5) [5,10); shard 1: ids 1(clamped 1),3 -> [0,1) [1,8)
+    assert(out === Seq(
+      (0L, 0, 0L, 0L, 1L),
+      (1L, 1, 0L, 0L, 0L),
+      (2L, 0, 5L, 1L, 2L),
+      (3L, 1, 1L, 0L, 1L)))
+  }
+
+  // ---- Pack.greedyPack ---------------------------------------------------
+
+  /** In-memory reference greedy packer (same rule as the doc). */
+  private def refGreedy(docs: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+    var bin = 0L; var running = 0L; var empty = true
+    docs.sortBy(_._1).map { case (id, tok0) =>
+      val tok = math.max(tok0, 1L)
+      if (!empty && running + tok > budget) { bin += 1; running = 0L }
+      running += tok; empty = false
+      id -> bin
+    }.toMap
+  }
+
+  test("greedyPack matches the reference recurrence on a random fixture") {
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 200L).map(i => (i, rng.nextInt(40).toLong))
+    val nShards = 4
+    val out = Pack.greedyPack(docs.toDF("doc_id", "tok"), "doc_id", "tok",
+        budget = 100L, nShards = nShards)
+      .as[(Long, Int, Long)].collect()
+    val expected = (0 until nShards).flatMap { s =>
+      refGreedy(docs.filter(_._1 % nShards == s), 100L).map { case (id, b) => (id, s, b) }
+    }.toSet
+    assert(out.toSet === expected)
+    assert(out.length === docs.length) // every doc packed exactly once
+  }
+
+  test("greedyPack invariants: bins within budget, oversized doc isolated, bins contiguous") {
+    val docs = Seq((0L, 3L), (1L, 9L), (2L, 25L), (3L, 4L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "tok")
+    val out = Pack.greedyPack(docs, "doc_id", "tok", budget = 10L, nShards = 1)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    // 3+9>10 -> bin splits; 25 oversized alone; then 4+4 fits, +4 overflows
+    assert(byBin(0L) === Seq(0L))
+    assert(byBin(1L) === Seq(1L))
+    assert(byBin(2L) === Seq(2L))
+    assert(byBin(3L) === Seq(3L, 4L))
+    assert(byBin(4L) === Seq(5L))
+    assert(byBin.keySet === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  // ---- Sampling ----------------------------------------------------------
+
+  test("hashSample: deterministic, near-expected size, and a subset of the input") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.3, seed = 7).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df, "id", 0.3, seed = 7).select("id").as[Long].collect().toSet
+    assert(a === b)                           // bit-deterministic
+    assert(math.abs(a.size - 600) < 90)       // ~Binomial(2000, .3), ±4.4σ
+    val superset = Sampling.hashSample(df, "id", 0.6, seed = 7)
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(superset))              // nested samples: same hash, larger cut
+  }
+
+  test("stratifiedSample: per-stratum rates; unknown strata dropped by default") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("stratum"))
+    val out = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("0" -> 1.0, "1" -> 0.2), seed = 3)
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts("0") === 1000)              // fraction 1.0 keeps everything
+    assert(math.abs(counts("1") - 200) < 60)
+    assert(!counts.contains("2"))             // absent stratum -> default 0.0
+  }
+
+  test("tokenBudgetMix: budgets exact, kept set is a prefix of the hash-ranked stream") {
+    val rng = new scala.util.Random(5)
+    val df = (0L until 500L)
+      .map(i => (i, 1L + rng.nextInt(50).toLong, if (i % 2 == 0) "web" else "code"))
+      .toDF("doc_id", "tok", "source")
+    val out = Sampling.tokenBudgetMix(df, "doc_id", "tok", "source",
+        Map("web" -> 900L, "code" -> 400L), seed = 1)
+      .select("doc_id", "source", "mix_rank", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val bySource = out.groupBy(_._2)
+    assert(bySource("web").map(_._4).max <= 900L)
+    assert(bySource("code").map(_._4).max <= 400L)
+    // prefix: ranks are exactly 1..k with cum_tokens strictly increasing in rank
+    for ((_, rows) <- bySource) {
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3) === (1L to sorted.length.toLong))
+      assert(sorted.map(_._4) === sorted.map(_._4).sorted)
+    }
+    // determinism across runs
+    val again = Sampling.tokenBudgetMix(df, "doc_id", "tok", "source",
+        Map("web" -> 900L, "code" -> 400L), seed = 1)
+      .select("doc_id", "source", "mix_rank", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(again.toSet === out.toSet)
+  }
+
+  // ---- Contamination -----------------------------------------------------
+
+  test("contamination: exact overlap counts and threshold verdicts") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps high"),   // shares 3 trigrams
+      (1L, "completely unrelated text here ok"), // shares 0
+      (2L, "the quick brown fox jumps over the lazy dog indeed") // shares all 7
+    ).toDF("doc_id", "text")
+    val out = Contamination.flagContaminated(corpus, bench, "doc_id", "text",
+        n = 3, minOverlap = 4)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // bench trigrams: {the quick brown, quick brown fox, brown fox jumps,
+    //                  fox jumps over, jumps over the, over the lazy, the lazy dog}
+    assert(out === Seq((0L, 3L, false), (1L, 0L, false), (2L, 7L, true)))
+  }
+
+  test("contamination: benchmark side plans as a broadcast join") {
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val plan = Contamination.overlapCounts(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
