@@ -127,5 +127,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinhashSig(args.head, intArg(args(1), "numHashes"), intArg(args(2), "n"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_ngrams(text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+        }
+        WordNgrams(args.head, n)
+      }))
   }
 }

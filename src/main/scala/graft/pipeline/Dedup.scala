@@ -61,13 +61,22 @@ object Dedup {
     ))
   }
 
-  /** Word n-grams of the text (n consecutive tokens joined by one space). */
+  /** Word n-grams of the text (n consecutive tokens joined one space,
+    * distinct, first-occurrence order). Fast path: the native `word_ngrams`
+    * expression (one loop per row — functions.WordNgrams) when the session
+    * carries GraftExtensions; identical output via built-ins otherwise.
+    */
   def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(lower(text))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-    ))
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("word_ngrams")))
+      call_function("word_ngrams", text, lit(n))
+    else {
+      val toks = TextOps.tokens(lower(text))
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      ))
+    }
   }
 
   /** MinHash signature (numHashes values) over word n-gram shingles.
