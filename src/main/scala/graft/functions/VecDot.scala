@@ -138,5 +138,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(args.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dup_line_ratio"),
+      new ExpressionInfo(classOf[DupLineRatio].getName, "dup_line_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "dup_line_ratio(text)")
+        DupLineRatio(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_word_ratio"),
+      new ExpressionInfo(classOf[TopWordRatio].getName, "top_word_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "top_word_ratio(text)")
+        TopWordRatio(args.head)
+      }))
   }
 }

@@ -95,10 +95,15 @@ object TextOps {
     * 0.0 for documents with no non-empty lines.
     */
   def dupLineRatio(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
-    when(size(lines) <= 0, lit(0.0)).otherwise(
-      (size(lines) - size(array_distinct(lines))).cast("double") /
-        size(lines).cast("double"))
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("dup_line_ratio")))
+      call_function("dup_line_ratio", text)
+    else {
+      val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+      when(size(lines) <= 0, lit(0.0)).otherwise(
+        (size(lines) - size(array_distinct(lines))).cast("double") /
+          size(lines).cast("double"))
+    }
   }
 
   /** Fraction of tokens taken by the single most frequent (lowercased)
@@ -107,10 +112,15 @@ object TextOps {
     * 0.0 for empty documents.
     */
   def topWordRatio(text: Column): Column = {
-    val toks = filter(tokens(lower(text)), t => length(t) > 0)
-    when(size(toks) <= 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(toks),
-        w => size(filter(toks, t => t === w)))).cast("double") /
-        size(toks).cast("double"))
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("top_word_ratio")))
+      call_function("top_word_ratio", text)
+    else {
+      val toks = filter(tokens(lower(text)), t => length(t) > 0)
+      when(size(toks) <= 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(toks),
+          w => size(filter(toks, t => t === w)))).cast("double") /
+          size(toks).cast("double"))
+    }
   }
 }

@@ -490,6 +490,12 @@ object Drive {
       // hostile: empty benchmark -> nothing flagged, no crash
       println("CONTAM_EMPTYBENCH=" + Contamination.flagContaminated(
         docs.limit(20), bench.limit(0), "doc_id", "text").filter(col("contaminated")).count())
+      // native repetition signals through the public TextOps API
+      val rep = Seq("nav\nbody\nnav", "w w w unique").toDF("text").select(
+        graft.pipeline.TextOps.dupLineRatio(col("text")).as("d"),
+        graft.pipeline.TextOps.topWordRatio(col("text")).as("t"))
+        .collect().map(r => f"${r.getDouble(0)}%.3f/${r.getDouble(1)}%.3f").mkString(" ")
+      println(s"REPETITION=$rep (expect 0.333/0.667 0.000/0.750)")
     }
     spark.stop()
   }
