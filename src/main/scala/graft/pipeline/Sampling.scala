@@ -69,12 +69,16 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val b = budgets.toSeq.toDF("__source", "__budget")
-    val w = Window.partitionBy(col(sourceCol)).orderBy(hashU(col(idCol), seed), col(idCol))
+    // materialize the shuffle key ONCE: both windows then sort on the same
+    // attribute, so the plan carries one exchange + ONE sort (inline hashU
+    // expressions differ per window instance and would cost a second sort)
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__u"), col(idCol))
     df.join(broadcast(b), df(sourceCol) === col("__source"), "inner")
+      .withColumn("__u", hashU(col(idCol), seed))
       .withColumn("mix_rank", row_number().over(w).cast("long"))
       .withColumn("cum_tokens", sum(greatest(col(tokensCol).cast("long"), lit(1L))).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("cum_tokens") <= col("__budget"))
-      .drop("__source", "__budget")
+      .drop("__source", "__budget", "__u")
   }
 }

@@ -105,6 +105,33 @@ object Plans {
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5).explain("formatted")
     }
 
+    section("curation operators — exchange census") {
+      import graft.pipeline.{Contamination, Pack, Sampling}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("tok", graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      def census(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        val nExch = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).size
+        val nSort = "\\+- Sort ".r.findAllIn(plan).size
+        println(s"$tag: EXCHANGES=$nExch BROADCASTS=$nBcast SORTS=$nSort")
+      }
+      census("pack_concat (1 exch + 1 sort: shard window)",
+        Pack.concatChunk(docs, "doc_id", "tok", 512, 8))
+      census("pack_greedy (1 exch + 1 sort: shard stream)",
+        Pack.greedyPack(docs, "doc_id", "tok", 256L, 8))
+      census("hash_sample (0 exch: map-side filter)",
+        Sampling.hashSample(docs.select("doc_id"), "doc_id", 0.3, 7))
+      census("stratified (0 exch + 1 bcast: rate table)",
+        Sampling.stratifiedSample(docs.select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 0.5), 3))
+      census("token_mix (1 exch + 1 sort + 1 bcast: per-source window)",
+        Sampling.tokenBudgetMix(docs, "doc_id", "tok", "source", Map("src0" -> 100L), 1))
+      census("contamination (1 exch: overlap agg; bench grams bcast)",
+        Contamination.flagContaminated(docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text"))
+    }
+
     spark.stop()
   }
 }
