@@ -382,6 +382,32 @@ object SparkEntry {
         .flagContaminated(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
         .select(col("doc_id"), col("n_overlap"),
           col("contaminated").cast("int").as("contaminated"))
+    }),
+
+    // ---- composed curation flagship: quality + repetition gates ->
+    // exact dedup (canonical only) -> benchmark decontamination ->
+    // deterministic stratified sampling -> token packing. Every stage is
+    // a public operator; the oracle replays the identical chain in SQL.
+    "q_curate" -> ((s, dir) => {
+      import graft.pipeline._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val gated = d
+        .withColumn("q", TextOps.qualityScore(col("text")))
+        .withColumn("dl", round(TextOps.dupLineRatio(col("text")), 6))
+        .where(col("q") >= 0.5 && col("dl") <= 0.5)
+      val canonIds = Dedup.exact(gated, "doc_id", "text")
+        .where(col("is_canonical")).select("doc_id")
+      val canon = gated.join(canonIds, "doc_id")
+      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = canon.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      val cleanIds = Contamination
+        .flagContaminated(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
+        .where(!col("contaminated")).select("doc_id")
+      val clean = corpus.join(cleanIds, "doc_id")
+      val sampled = Sampling.stratifiedSample(clean, "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.25, "de" -> 0.75, "es" -> 0.5), seed = 11)
+        .withColumn("tok", TextOps.tokenCount(col("text")).cast("long"))
+      Pack.concatChunk(sampled, "doc_id", "tok", budget = 512, nShards = 8)
     })
   )
 
@@ -825,6 +851,64 @@ object SparkEntry {
         |  COALESCE(cnt.n_overlap, 0) AS n_overlap,
         |  CAST(COALESCE(cnt.n_overlap, 0) >= 3 AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
-        |WHERE d.doc_id % 20 <> 0""".stripMargin
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    "q_curate" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS tok,
+        |    ROUND(
+        |      LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
+        |      * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
+        |      * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
+        |      * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
+        |               OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
+        |      * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
+        |            GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
+        |    , 6) AS q,
+        |    ROUND((SELECT CASE WHEN len(l) <= 0 THEN 0.0
+        |             ELSE (len(l) - len(list_distinct(l))) * 1.0 / len(l) END
+        |           FROM (SELECT list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |                                    x -> len(x) > 0) AS l)), 6) AS dl
+        |  FROM documents),
+        |gate AS (SELECT * FROM s WHERE q >= 0.5 AND dl <= 0.5),
+        |fp AS (SELECT doc_id, lang, text, tok,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM gate),
+        |canon AS (SELECT f.doc_id, f.lang, f.text, f.tok FROM fp f
+        |  JOIN (SELECT fingerprint, MIN(doc_id) AS m FROM fp GROUP BY 1) g
+        |    ON f.fingerprint = g.fingerprint AND f.doc_id = g.m),
+        |benchg AS (
+        |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3])))) AS gram
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |corpg AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+1],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+2],
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[i+3])))) AS gram
+        |  FROM canon WHERE doc_id % 20 <> 0),
+        |cnt AS (SELECT c.doc_id, COUNT(*) AS n FROM corpg c JOIN benchg b USING (gram) GROUP BY 1),
+        |clean AS (SELECT c.doc_id, c.lang, c.tok FROM canon c LEFT JOIN cnt ON c.doc_id = cnt.doc_id
+        |  WHERE c.doc_id % 20 <> 0 AND COALESCE(cnt.n, 0) < 3),
+        |samp AS (SELECT doc_id, tok, CAST(doc_id % 8 AS INTEGER) AS shard FROM clean
+        |  WHERE CAST(concat('0x', substr(md5(concat_ws(':', 11, CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0
+        |    < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.25
+        |                WHEN 'de' THEN 0.75 WHEN 'es' THEN 0.5 ELSE 0.0 END),
+        |c AS (SELECT doc_id, shard, tok,
+        |  CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM samp)
+        |SELECT doc_id, shard, tok_end - tok AS tok_start,
+        |  CAST(FLOOR((tok_end - tok) / 512.0) AS BIGINT) AS chunk_first,
+        |  CAST(FLOOR((tok_end - 1) / 512.0) AS BIGINT) AS chunk_last
+        |FROM c""".stripMargin
   )
 }

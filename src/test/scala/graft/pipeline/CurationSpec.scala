@@ -132,6 +132,24 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  // ---- composed curation flagship ----------------------------------------
+
+  test("q_curate: the composed chain keeps a nonempty, strictly-curated subset") {
+    val out = graft.SparkEntry.queries("q_curate")(spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(n > 0 && n < total)          // every gate engaged, none annihilated
+    // packing invariants on the surviving set: per shard the stream is
+    // contiguous from 0 (tok_start of the first doc is 0)
+    import org.apache.spark.sql.functions._
+    val firsts = out.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("tok_start") =!= 0L).count() === 0)
+    assert(out.filter(col("chunk_last") < col("chunk_first")).count() === 0)
+  }
+
   // ---- Contamination -----------------------------------------------------
 
   test("contamination: exact overlap counts and threshold verdicts") {
