@@ -384,6 +384,18 @@ object SparkEntry {
           col("contaminated").cast("int").as("contaminated"))
     }),
 
+    // ---- corpus-wide paragraph dedup (C4/Gopher-style): composite docs
+    // (each doc + its successor, newline-joined) share every paragraph with
+    // a neighbour, so first-occurrence suppression and reassembly are
+    // genuinely exercised even though the fixture docs are single-line
+    "q_para_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text2"))
+      val composite = d.join(nxt, Seq("doc_id"), "inner")
+        .select(col("doc_id"), concat_ws("\n", col("text"), col("text2")).as("text"))
+      graft.pipeline.Dedup.paragraphDedup(composite, "doc_id", "text")
+    }),
+
     // ---- composed curation flagship: quality + repetition gates ->
     // exact dedup (canonical only) -> benchmark decontamination ->
     // deterministic stratified sampling -> token packing. Every stage is
@@ -852,6 +864,31 @@ object SparkEntry {
         |  CAST(COALESCE(cnt.n_overlap, 0) >= 3 AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    "q_para_dedup" ->
+      """WITH comp AS (
+        |  SELECT d.doc_id, d.text || chr(10) || d2.text AS text
+        |  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1),
+        |p AS (
+        |  SELECT doc_id, u['idx'] AS idx, u['para'] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM comp),
+        |       UNNEST(list_transform(range(len(l)), i -> {'idx': i, 'para': l[i+1]})) AS t(u)
+        |  WHERE len(trim(u['para'])) > 0),
+        |k AS (
+        |  SELECT doc_id, idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))
+        |                       ORDER BY doc_id, idx) AS rn
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id,
+        |    string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1) AS text_clean,
+        |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS paras_kept,
+        |    SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS paras_dropped
+        |  FROM k GROUP BY doc_id)
+        |SELECT c.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+        |  CAST(COALESCE(r.paras_kept, 0) AS BIGINT) AS paras_kept,
+        |  CAST(COALESCE(r.paras_dropped, 0) AS BIGINT) AS paras_dropped
+        |FROM comp c LEFT JOIN r ON c.doc_id = r.doc_id""".stripMargin,
 
     "q_curate" ->
       """WITH s AS (

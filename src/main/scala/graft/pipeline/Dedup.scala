@@ -52,6 +52,48 @@ object Dedup {
         count(lit(1)).over(w).as("dup_count"))
   }
 
+  /** Corpus-wide paragraph dedup (C4/Gopher-style): every non-empty
+    * (trimmed) line is fingerprinted; across the WHOLE corpus only the
+    * first occurrence — smallest (id, line index) — of each fingerprint
+    * survives, and documents are reassembled from their surviving lines in
+    * original order. Boilerplate/chrome repeated across pages disappears
+    * from every page but the first. Output: one row per input document —
+    * (id, text_clean, paras_kept, paras_dropped); fully-deduplicated
+    * documents survive with empty text (callers filter on paras_kept).
+    *
+    * Scale shape: explode is linear; first-occurrence selection is ONE
+    * hash shuffle on the fingerprint (window row_number — spillable on
+    * degenerate fingerprints, same un-OOM-able shape as [[exact]]);
+    * reassembly is ONE groupBy shuffle on the id. Per-group state is
+    * bounded by a single document's line count, never by corpus-wide
+    * duplicate groups. Normalization is line-trim + whitespace collapse
+    * + lowercase for MATCHING only; surviving lines keep original bytes.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pfp").orderBy(col(idCol), col("__idx"))
+    val kept = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__para")))
+      .where(length(trim(col("__para"))) > 0)
+      .withColumn("__pfp", TextOps.fingerprint(col("__para")))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", col("__rn") === 1)
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("__idx"), col("__para"))))),
+          s => s.getField("__para"))).as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("paras_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("paras_dropped"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("paras_kept"), lit(0L)).as("paras_kept"),
+        coalesce(col("paras_dropped"), lit(0L)).as("paras_dropped"))
+  }
+
   /** Character k-shingles of the normalized text. */
   def shingles(text: Column, k: Int = 5): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

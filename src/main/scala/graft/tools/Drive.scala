@@ -496,6 +496,14 @@ object Drive {
         graft.pipeline.TextOps.topWordRatio(col("text")).as("t"))
         .collect().map(r => f"${r.getDouble(0)}%.3f/${r.getDouble(1)}%.3f").mkString(" ")
       println(s"REPETITION=$rep (expect 0.333/0.667 0.000/0.750)")
+      // corpus-wide paragraph dedup: chrome repeated across docs vanishes
+      // from every doc but the first; fully-deduped doc survives empty
+      val pd = graft.pipeline.Dedup.paragraphDedup(
+        Seq((1L, "top nav\nreal content A"), (2L, "top nav\nreal content B"),
+            (3L, "top nav\nreal content A")).toDF("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id")
+        .collect().map(r => s"${r.getLong(0)}:'${r.getString(1).replace("\n", "|")}'(${r.getLong(2)}/${r.getLong(3)})")
+      println(s"PARA_DEDUP=${pd.mkString(" ")} (expect 1 keeps both, 2 keeps B, 3 empty)")
     }
     spark.stop()
   }
