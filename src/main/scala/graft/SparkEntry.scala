@@ -384,6 +384,23 @@ object SparkEntry {
           col("contaminated").cast("int").as("contaminated"))
     }),
 
+    // ---- PII redaction (emails -> URLs -> IPv4, fixed order) + per-class
+    // match counts; PII is synthesized deterministically per doc because
+    // the fixture contains none (patterns are Java-regex/RE2-identical)
+    "q_redact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val withPii = d.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via http://site"), col("doc_id").cast("string"),
+          lit(".org/page or 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7")).as("text"))
+      withPii.select(
+        Seq(col("doc_id"),
+          graft.pipeline.TextOps.redact(col("text")).as("text_redacted")) ++
+          graft.pipeline.TextOps.piiCounts(col("text")): _*)
+    }),
+
     // ---- corpus-wide paragraph dedup (C4/Gopher-style): composite docs
     // (each doc + its successor, newline-joined) share every paragraph with
     // a neighbour, so first-occurrence suppression and reassembly are
@@ -864,6 +881,23 @@ object SparkEntry {
         |  CAST(COALESCE(cnt.n_overlap, 0) >= 3 AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    "q_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com via http://site' || CAST(doc_id AS VARCHAR) ||
+        |    '.org/page or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips
+        |FROM w""".stripMargin,
 
     "q_para_dedup" ->
       """WITH comp AS (

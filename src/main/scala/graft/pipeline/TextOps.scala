@@ -89,6 +89,35 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  // -------------------------------------------- PII redaction
+  /** Conservative ASCII patterns chosen to evaluate identically under Java
+    * regex (Spark) and RE2 (DuckDB oracles): no \w/\b/lookaround, explicit
+    * character classes only.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val urlPattern = "https?://[^ \\t\\n]+"
+  val ipPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, then URLs, then IPv4 literals (fixed order — a URL
+    * containing an email-shaped userinfo is redacted as the email first,
+    * deterministically on both engines). Pure chained regexp_replace: the
+    * 100 TB scrub stays a single map stage.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      ipPattern, "<IP>")
+
+  /** Match counts per category on the RAW text (email counted before any
+    * replacement, mirroring [[redact]]'s order).
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(urlPattern), lit(0))).cast("long").as("n_urls"),
+    size(regexp_extract_all(text, lit(ipPattern), lit(0))).cast("long").as("n_ips"))
+
   // -------------------------------------------- repetition (Gopher-style)
   /** Fraction of non-empty (trimmed) lines that are duplicates of an
     * earlier line — the classic boilerplate/navigation-chrome signal.

@@ -132,6 +132,26 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  // ---- PII redaction -------------------------------------------------------
+
+  test("redact: emails, URLs, IPv4 in fixed order; counts match; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail a.b+c@foo-bar.org or see https://x.io/p?q=1 from 192.168.0.1 twice 10.0.0.255"),
+      (2L, "no pii here at all"),
+      (3L, "edge: v1.2.3.4000 is not an ip-ish word but 1.2.3.4 is")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+        Seq(col("doc_id"), TextOps.redact(col("text")).as("r")) ++
+          TextOps.piiCounts(col("text")): _*)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out(0) === ((1L, "mail <EMAIL> or see <URL> from <IP> twice <IP>", 1L, 1L, 2L)))
+    assert(out(1) === ((2L, "no pii here at all", 0L, 0L, 0L)))
+    // the {1,3} quantifier matches the leading 3 digits of 4000: redaction
+    // is deliberately recall-biased (scrubbing too much beats leaking)
+    assert(out(2)._3 === 0L && out(2)._5 === 2L)
+    assert(out(2)._2.contains("<IP> is"))
+  }
+
   // ---- composed curation flagship ----------------------------------------
 
   test("q_curate: the composed chain keeps a nonempty, strictly-curated subset") {
