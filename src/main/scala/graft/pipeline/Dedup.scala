@@ -61,23 +61,32 @@ object Dedup {
     * (id, text_clean, paras_kept, paras_dropped); fully-deduplicated
     * documents survive with empty text (callers filter on paras_kept).
     *
-    * Scale shape: explode is linear; first-occurrence selection is ONE
-    * hash shuffle on the fingerprint (window row_number — spillable on
-    * degenerate fingerprints, same un-OOM-able shape as [[exact]]);
-    * reassembly is ONE groupBy shuffle on the id. Per-group state is
-    * bounded by a single document's line count, never by corpus-wide
-    * duplicate groups. Normalization is line-trim + whitespace collapse
-    * + lowercase for MATCHING only; surviving lines keep original bytes.
+    * Scale shape: explode is linear; first-occurrence selection is a
+    * min-STRUCT aggregate by fingerprint — NOT a per-fingerprint window.
+    * The distinction matters precisely here: boilerplate lines (nav
+    * chrome, copyright footers) repeat across a huge fraction of a web
+    * corpus, so a hot fingerprint is the EXPECTED case, and a window
+    * formulation would sort every copy of it inside one task. The
+    * aggregate gets map-side partial combine (each map partition ships
+    * ONE candidate per distinct fingerprint it saw), and the winners join
+    * back on (id, line index) — uniformly distributed keys, so no stage
+    * carries fingerprint skew. Reassembly is one groupBy whose state is
+    * bounded by a single document's line count. Normalization is
+    * line-trim + whitespace collapse + lowercase for MATCHING only;
+    * surviving lines keep original bytes.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pfp").orderBy(col(idCol), col("__idx"))
-    val kept = df
+    val paras = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__para")))
       .where(length(trim(col("__para"))) > 0)
       .withColumn("__pfp", TextOps.fingerprint(col("__para")))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__keep", col("__rn") === 1)
+    val firsts = paras
+      .groupBy(col("__pfp"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__idx").as("__fidx"))).as("__first"))
+      .select(col("__first.__fid").as("__fid"), col("__first.__fidx").as("__fidx"))
+    val kept = paras
+      .join(firsts, paras(idCol) === col("__fid") && col("__idx") === col("__fidx"), "left")
+      .withColumn("__keep", col("__fid").isNotNull)
     val reassembled = kept
       .groupBy(col(idCol))
       .agg(

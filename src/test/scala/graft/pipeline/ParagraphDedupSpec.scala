@@ -55,11 +55,15 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out === Seq((7L, "x\ny\nz", 3L, 2L)))
   }
 
-  test("plan shape: one fingerprint shuffle + one reassembly shuffle") {
+  test("plan shape: NO per-fingerprint window sort (boilerplate-skew immunity)") {
     val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
     val plan = Dedup.paragraphDedup(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    val nExch = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(nExch <= 3, s"expected <= 3 exchanges (fingerprint window, groupBy, join), got $nExch:\n$plan")
+    // first-occurrence selection must be an aggregate (map-side combinable),
+    // never a window: a window sorts every copy of a hot boilerplate line
+    // inside one task at corpus scale
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("ObjectHashAggregate"), s"expected an aggregate in:\n$plan")
   }
 }
