@@ -38,18 +38,24 @@ object Dedup {
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * Returns (id, fingerprint, is_canonical, dup_count).
     *
-    * Window formulation (no collect_list): a degenerate fingerprint with
-    * millions of duplicates never materializes an id array in one
-    * aggregation buffer — the window sorter spills to disk, so the operator
-    * is un-OOM-able at corpus scale. One shuffle (hash by fingerprint),
-    * one sort, two frame-less window aggregates sharing the same Exchange.
+    * Aggregate + join, NOT a per-fingerprint window: degenerate
+    * fingerprints (empty pages, error boilerplate) carry millions of rows
+    * at corpus scale, and a window must sort every copy inside one task —
+    * un-OOM-able (it spills) but an unsplittable straggler. The groupBy
+    * gets map-side partial combine (one candidate per distinct
+    * fingerprint per map partition) and the per-row verdict join only
+    * needs the ONE summary row per fingerprint, so AQE's skew-join
+    * splitting can fan the hot fingerprint's probe rows across tasks —
+    * something a window can never do.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val fp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val g = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("__min_id"), count(lit(1)).as("dup_count"))
+    fp.join(g, "fingerprint")
       .select(col(idCol), col("fingerprint"),
-        (col(idCol) === min(col(idCol)).over(w)).as("is_canonical"),
-        count(lit(1)).over(w).as("dup_count"))
+        (col(idCol) === col("__min_id")).as("is_canonical"),
+        col("dup_count"))
   }
 
   /** Corpus-wide paragraph dedup (C4/Gopher-style): every non-empty

@@ -22,6 +22,10 @@ class PipelineSpec extends SparkSpec {
     assert(d(1) == ((1L, false, 3L)))
     assert(d(2) == ((2L, false, 3L)))
     assert(d(3)._2 && d(4)._2 && d(5)._2)
+    // hot-fingerprint immunity: verdicts come from an AQE-skew-splittable
+    // aggregate + join, never a per-fingerprint window sort
+    val plan = Dedup.exact(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 
   test("minhash LSH pairs catch near-duplicates, jaccard is sane") {
