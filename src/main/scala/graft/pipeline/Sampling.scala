@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling and token-budget data mixing.
@@ -60,7 +59,21 @@ object Sampling {
     * total stays within that source's budget — the standard "hit the
     * target token mixture" pass of a pre-training data pipeline. Sources
     * absent from `budgets` are dropped. Output: kept rows plus
-    * (mix_rank, cum_tokens) for auditability.
+    * (mix_rank, cum_tokens) for auditability. `idCol` must cast to long
+    * (same contract as [[Pack.greedyPack]]).
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, not a per-source window: a
+    * window `partitionBy(source)` puts an entire source (10¹¹ rows of a
+    * pre-training mixture) into ONE task's sort. Instead rows are
+    * range-partitioned on the global order key (source, u, id) — so the
+    * sorted order spans partitions — then per-(partition, source) row and
+    * token totals (one tiny collect) become broadcast offsets, and a
+    * second linear pass emits exact global ranks/cumsums. Long arithmetic
+    * throughout ⇒ bit-identical to the window formulation (the DuckDB
+    * oracle) at any parallelism. The ranged frame is persisted so the two
+    * passes see the SAME sampled range boundaries (and the offsets stay
+    * valid); callers running many mixes can unpersist via the returned
+    * plan's InMemoryRelation or let LRU eviction handle it.
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, tokensCol: String,
                      sourceCol: String, budgets: Map[String, Long],
@@ -69,16 +82,49 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val b = budgets.toSeq.toDF("__source", "__budget")
-    // materialize the shuffle key ONCE: both windows then sort on the same
-    // attribute, so the plan carries one exchange + ONE sort (inline hashU
-    // expressions differ per window instance and would cost a second sort)
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__u"), col(idCol))
-    df.join(broadcast(b), df(sourceCol) === col("__source"), "inner")
-      .withColumn("__u", hashU(col(idCol), seed))
-      .withColumn("mix_rank", row_number().over(w).cast("long"))
-      .withColumn("cum_tokens", sum(greatest(col(tokensCol).cast("long"), lit(1L))).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("cum_tokens") <= col("__budget"))
-      .drop("__source", "__budget", "__u")
+    val base = df.join(broadcast(b), df(sourceCol) === col("__source"), "inner")
+      .select(col(idCol).cast("long").as("__id"),
+        col(sourceCol).cast("string").as("__src"),
+        greatest(col(tokensCol).cast("long"), lit(1L)).as("__tok"),
+        hashU(col(idCol), seed).as("__u"),
+        col("__budget").cast("long").as("__b"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = base
+      .repartitionByRange(nParts, col("__src"), col("__u"), col("__id"))
+      .sortWithinPartitions(col("__src"), col("__u"), col("__id"))
+      .as[(Long, String, Long, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, source) row/token totals — rows per entry is
+    // bounded by partitions x sources, a tiny driver collect
+    val partStats = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      it.foreach { case (_, src, tok, _, _) =>
+        val (c, t) = m.getOrElse(src, (0L, 0L)); m(src) = (c + 1, t + tok)
+      }
+      m.iterator.map { case (src, (c, t)) => (pid, src, c, t) }
+    }.collect()
+    val bySrc = partStats.groupBy(_._2)
+    val offsets: Map[(Int, String), (Long, Long)] = partStats.map { case (pid, src, _, _) =>
+      val prior = bySrc(src).filter(_._1 < pid)
+      ((pid, src), (prior.map(_._3).sum, prior.map(_._4).sum))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: linear per-partition scan adding the broadcast offsets —
+    // exact global (rank, cumsum) with no single-task source sort anywhere
+    val ranked = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val local = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      it.map { case (id, src, tok, _, bud) =>
+        val (ro, to) = bc.value.getOrElse((pid, src), (0L, 0L))
+        val (rc, tc) = local.getOrElse(src, (0L, 0L))
+        local(src) = (rc + 1, tc + tok)
+        (id, src, ro + rc + 1, to + tc + tok, bud)
+      }
+    }.toDF("__jid", "__jsrc", "mix_rank", "cum_tokens", "__b")
+      .where(col("cum_tokens") <= col("__b"))
+    df.join(ranked,
+        df(idCol).cast("long") === col("__jid") && df(sourceCol) === col("__jsrc"))
+      .drop("__jid", "__jsrc", "__b")
   }
 }

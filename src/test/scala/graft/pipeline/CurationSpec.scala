@@ -132,6 +132,35 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("tokenBudgetMix: distributed prefix sum is bit-identical to a window and window-free") {
+    val rng = new scala.util.Random(9)
+    val df = (0L until 800L)
+      .map(i => (i, 1L + rng.nextInt(30).toLong, s"s${i % 5}"))
+      .toDF("doc_id", "tok", "source")
+    val budgets = Map("s0" -> 500L, "s1" -> 700L, "s2" -> 100L, "s3" -> 10000L)
+    val got = Sampling.tokenBudgetMix(df, "doc_id", "tok", "source", budgets, seed = 4)
+    // reference: the straight per-source window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__u"), col("doc_id"))
+    val b = budgets.toSeq.toDF("__source", "__budget")
+    val ref = df.join(broadcast(b), df("source") === col("__source"))
+      .withColumn("__u", Sampling.hashU(col("doc_id"), 4))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("tok")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(col("cum_tokens") <= col("__budget"))
+      .select("doc_id", "source", "mix_rank", "cum_tokens")
+    val gotS = got.select("doc_id", "source", "mix_rank", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val refS = ref.as[(Long, String, Long, Long)].collect().toSet
+    assert(gotS === refS)
+    // plan: range-partitioned two-pass scan, NO per-source window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(plan.toLowerCase.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   test("redact: emails, URLs, IPv4 in fixed order; counts match; clean text untouched") {
