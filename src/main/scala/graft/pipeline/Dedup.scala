@@ -49,10 +49,19 @@ object Dedup {
     * something a window can never do.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // narrow (id, fingerprint) projection, locally checkpointed LAZILY: both
+    // join branches share the one materialization, so the corpus text is
+    // scanned and md5'd ONCE (not once per branch), the stored block is
+    // ~50 bytes/row, and the RDD is ContextCleaner-GC'd when unreferenced
     val fp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .localCheckpoint(false)
     val g = fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("__min_id"), count(lit(1)).as("dup_count"))
-    fp.join(g, "fingerprint")
+      .withColumnRenamed("fingerprint", "__g_fp")
+    // null-safe join: a null text row keeps its (null-fingerprint group)
+    // verdict, as the window formulation did — an inner equi-join would
+    // silently drop it
+    fp.join(g, fp("fingerprint") <=> col("__g_fp"))
       .select(col(idCol), col("fingerprint"),
         (col(idCol) === col("__min_id")).as("is_canonical"),
         col("dup_count"))

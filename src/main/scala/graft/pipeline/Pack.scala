@@ -40,7 +40,11 @@ object Pack {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val toks = greatest(col(tokensCol).cast("long"), lit(1L))
+    // explicit ROWS frame: the orderBy default is RANGE, which would hand
+    // duplicate ids one shared tok_end (overlapping token spans) instead of
+    // distinct running sums
     val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", shardCol(idCol, nShards))
       .withColumn("tok_end", sum(toks).over(w))
@@ -67,11 +71,16 @@ object Pack {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val spark = docs.sparkSession
     import spark.implicits._
+    // range partition (not hash): hashing nShards distinct shard values into
+    // nShards partitions collides ~1/e of them, stacking several shards'
+    // serial recurrences into one straggler task while other tasks idle;
+    // range boundaries give ~one shard per partition and equal shard values
+    // can never split across partitions
     val prepared = docs
       .select(col(idCol).cast("long").as("id"),
         shardCol(idCol, nShards).as("shard"),
         greatest(col(tokensCol).cast("long"), lit(1L)).as("tok"))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Int, Long)]
     prepared.mapPartitions { it =>

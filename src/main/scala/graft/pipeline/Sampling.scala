@@ -70,10 +70,12 @@ object Sampling {
     * token totals (one tiny collect) become broadcast offsets, and a
     * second linear pass emits exact global ranks/cumsums. Long arithmetic
     * throughout ⇒ bit-identical to the window formulation (the DuckDB
-    * oracle) at any parallelism. The ranged frame is persisted so the two
-    * passes see the SAME sampled range boundaries (and the offsets stay
-    * valid); callers running many mixes can unpersist via the returned
-    * plan's InMemoryRelation or let LRU eviction handle it.
+    * oracle) at any parallelism. The ranged frame is LAZILY
+    * locally-checkpointed: pass 1, pass 2, and every re-materialization of
+    * the returned frame replay the SAME stored partitions, so the
+    * broadcast (partition, source) offsets can never drift against a
+    * re-sampled range shuffle, and the checkpoint blocks are
+    * ContextCleaner-GC'd once the result is unreferenced (no cache leak).
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, tokensCol: String,
                      sourceCol: String, budgets: Map[String, Long],
@@ -89,20 +91,31 @@ object Sampling {
         hashU(col(idCol), seed).as("__u"),
         col("__budget").cast("long").as("__b"))
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // The range-partition id is frozen INTO the checkpointed rows: every
+    // downstream pass reads it from the data, never from
+    // TaskContext.getPartitionId() — under a narrow repartitioning (e.g. a
+    // caller's coalesce(1)) the task id is the COALESCED partition's, so a
+    // TaskContext-keyed offset lookup silently applies partition 0's
+    // offsets everywhere (caught by the driver oracle under Verify's
+    // coalesce(1) write). The tag lambda itself runs during the checkpoint
+    // materialization, whose stage partitions ARE the range partitions.
     val ranged = base
       .repartitionByRange(nParts, col("__src"), col("__u"), col("__id"))
       .sortWithinPartitions(col("__src"), col("__u"), col("__id"))
       .as[(Long, String, Long, Double, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, src, tok, _, bud) => (pid, id, src, tok, bud) }
+      }
+      .localCheckpoint(false)
     // pass 1: per-(partition, source) row/token totals — rows per entry is
     // bounded by partitions x sources, a tiny driver collect
     val partStats = ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-      it.foreach { case (_, src, tok, _, _) =>
-        val (c, t) = m.getOrElse(src, (0L, 0L)); m(src) = (c + 1, t + tok)
+      val m = scala.collection.mutable.LinkedHashMap[(Int, String), (Long, Long)]()
+      it.foreach { case (pid, _, src, tok, _) =>
+        val (c, t) = m.getOrElse((pid, src), (0L, 0L)); m((pid, src)) = (c + 1, t + tok)
       }
-      m.iterator.map { case (src, (c, t)) => (pid, src, c, t) }
+      m.iterator.map { case ((pid, src), (c, t)) => (pid, src, c, t) }
     }.collect()
     val bySrc = partStats.groupBy(_._2)
     val offsets: Map[(Int, String), (Long, Long)] = partStats.map { case (pid, src, _, _) =>
@@ -111,14 +124,15 @@ object Sampling {
     }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 2: linear per-partition scan adding the broadcast offsets —
-    // exact global (rank, cumsum) with no single-task source sort anywhere
+    // exact global (rank, cumsum) with no single-task source sort anywhere.
+    // Keyed by (row pid, src): correct even when invoked per parent
+    // partition inside a coalesced task.
     val ranked = ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val local = scala.collection.mutable.HashMap[String, (Long, Long)]()
-      it.map { case (id, src, tok, _, bud) =>
+      val local = scala.collection.mutable.HashMap[(Int, String), (Long, Long)]()
+      it.map { case (pid, id, src, tok, bud) =>
         val (ro, to) = bc.value.getOrElse((pid, src), (0L, 0L))
-        val (rc, tc) = local.getOrElse(src, (0L, 0L))
-        local(src) = (rc + 1, tc + tok)
+        val (rc, tc) = local.getOrElse((pid, src), (0L, 0L))
+        local((pid, src)) = (rc + 1, tc + tok)
         (id, src, ro + rc + 1, to + tc + tok, bud)
       }
     }.toDF("__jid", "__jsrc", "mix_rank", "cum_tokens", "__b")

@@ -40,6 +40,16 @@ class CurationSpec extends SparkSpec {
       (3L, 1, 1L, 0L, 1L)))
   }
 
+  test("concatChunk: duplicate ids get DISTINCT running sums (ROWS frame), never overlapping spans") {
+    val docs = Seq((0L, 5L), (1L, 4L), (1L, 6L), (2L, 3L)).toDF("doc_id", "tok")
+    val out = Pack.concatChunk(docs, "doc_id", "tok", budget = 8, nShards = 1)
+      .select("tok_start").as[Long].collect().toSeq.sorted
+    // a RANGE frame would give both id-1 rows the same tok_end (overlap);
+    // ROWS yields four distinct starts tiling [0, 18)
+    assert(out.distinct.size === 4)
+    assert(out.head === 0L && out.contains(5L))
+  }
+
   // ---- Pack.greedyPack ---------------------------------------------------
 
   /** In-memory reference greedy packer (same rule as the doc). */
@@ -155,10 +165,20 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     val refS = ref.as[(Long, String, Long, Long)].collect().toSet
     assert(gotS === refS)
-    // plan: range-partitioned two-pass scan, NO per-source window sort
+    // REGRESSION: a narrow repartitioning downstream (Verify writes with
+    // coalesce(1)) must not disturb ranks — a TaskContext-keyed offset
+    // lookup sees the coalesced task's id and applied partition 0's
+    // offsets to every partition; pids are data now
+    val coalesced = got.coalesce(1)
+      .select("doc_id", "source", "mix_rank", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(coalesced === refS)
+    // plan: NO per-source window sort anywhere; the result reads the
+    // locally-checkpointed ranged RDD (the range exchange lives in the
+    // checkpoint's build lineage, pinning partition ids for the offsets)
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
-    assert(plan.toLowerCase.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed-RDD scan in:\n$plan")
   }
 
   // ---- PII redaction -------------------------------------------------------

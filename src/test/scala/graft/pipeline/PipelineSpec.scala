@@ -28,6 +28,18 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 
+  test("exact dedup keeps null-text rows (null-safe verdict join)") {
+    import spark.implicits._
+    val withNulls = Seq((0L, Some("same")), (1L, None), (2L, None), (3L, Some("same")))
+      .toDF("doc_id", "text")
+    val d = Dedup.exact(withNulls, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).sortBy(_._1)
+    assert(d.length === 4)                      // no row silently dropped
+    assert(d(1) == ((1L, true, 2L)))            // null group: min id canonical
+    assert(d(2) == ((2L, false, 2L)))
+    assert(d(0)._2 && !d(3)._2)
+  }
+
   test("minhash LSH pairs catch near-duplicates, jaccard is sane") {
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 16, bands = 8)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
