@@ -204,6 +204,18 @@ object SparkEntry {
         maxBucketSize = Int.MaxValue)
     }),
 
+    // ---- signed-random-projection band candidate pairs: training-free
+    // embedding-cosine near-dup (the LSH complement of q_ivf_neardup).
+    // Integer-quantized projections against md5-derived Rademacher planes
+    // make every sign decision exact in BOTH engines, so the DuckDB oracle
+    // reproduces the sketch bit-for-bit from the raw floats. Cap-free for
+    // the same reason as q_simhash_pairs.
+    "q_srp_pairs" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.srpCandidatePairs(e, "vec_id", "embedding",
+        bits = 48, bands = 4, dim = 64, seed = 7, maxBucketSize = Int.MaxValue)
+    }),
+
     // ---- forward-fill / lead / lag (§2.10) through the PointInTime API
     "q_ffill" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -761,6 +773,34 @@ object SparkEntry {
         |       WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // SRP sketch recomputed from the raw floats: quantized projections
+    // against md5-derived +/-1 planes are exact integer sums, so the sign
+    // decisions (and hence every band bucket) are engine-independent
+    "q_srp_pairs" ->
+      """WITH dims AS (SELECT UNNEST(range(64)) AS i),
+        |bitsq AS (SELECT UNNEST(range(48)) AS b),
+        |planes AS (
+        |  SELECT b.b AS b, d.i AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('srp:7:', b.b, ':', d.i)), 1, 15)) AS BIGINT) & 1 = 0
+        |         THEN 1 ELSE -1 END AS p
+        |  FROM bitsq b, dims d),
+        |q AS (
+        |  SELECT e.vec_id AS id, d.i AS i,
+        |    CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings e, dims d),
+        |sgn AS (
+        |  SELECT q.id, p.b AS b, CASE WHEN SUM(q.qv * p.p) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.id, p.b),
+        |sig AS (
+        |  SELECT id, CAST(SUM(CAST(bit AS BIGINT) << CAST(b AS INT)) AS BIGINT) AS sk
+        |  FROM sgn GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band AS band, (sk >> CAST(12 * b.band AS INT)) & 4095 AS bucket
+        |  FROM sig, (SELECT UNNEST(range(4)) AS band) b)
+        |SELECT DISTINCT a.id AS id1, c.id AS id2
+        |FROM banded a JOIN banded c
+        |  ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

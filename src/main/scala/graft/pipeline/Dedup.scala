@@ -200,11 +200,11 @@ object Dedup {
   }
 
   /** Within-bucket pair explosion with the mega-bucket hub-star cap, shared
-    * by the MinHash/LSH and SimHash band pipelines. `banded` must carry
+    * by the MinHash/LSH, SimHash and SRP band pipelines. `banded` must carry
     * (id, band, bucket); see [[lshCandidatePairs]]'s doc for the physical
     * shape and capping semantics.
     */
-  private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[pipeline] def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     // size every bucket with window aggregates (spillable; same hash
     // partitioning is reused by the small-bucket groupBy below — one shuffle)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")

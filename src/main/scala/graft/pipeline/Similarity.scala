@@ -387,4 +387,40 @@ object Similarity {
     ivfKnnCore(assigned, queries, idCol, vecCol, k,
       v => probeClustersTwoLevel(v, tlc, nProbeCoarse, nProbe), maxClusterSize)
   }
+
+  /** Signed-random-projection sketch of the embedding (cosine LSH bits) —
+    * the native [[graft.functions.SrpSketch]] expression; like IvfProbe it
+    * carries plan state (the plane matrix) so it is constructed directly
+    * and needs no session extension. `dim` sizes the plane matrix; vectors
+    * longer than `dim` truncate, shorter use the overlap.
+    */
+  def srpSketch(vec: Column, bits: Int = 48, dim: Int = 64, seed: Int = 7): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.functions.SrpSketch(bridge.expression(vec), bits, dim, seed))
+  }
+
+  /** SRP band candidate pairs — training-free embedding-cosine near-dup
+    * (the LSH counterpart of [[ivfNearDupPairs]], which needs centroid
+    * training): the `bits`-bit sketch splits into `bands` contiguous bit
+    * ranges; vectors sharing any band value become a candidate pair
+    * (id1 < id2). Pigeonhole: every pair within sketch hamming distance
+    * `bands - 1` shares a band, and P[bit differs] = angle/pi (Charikar),
+    * so band width trades candidate density against the cosine radius
+    * exactly like simhash banding does for token space. Same one-shuffle
+    * bucketed explosion and mega-bucket hub-star cap as
+    * [[graft.pipeline.Dedup.lshCandidatePairs]].
+    */
+  def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        bits: Int = 48, bands: Int = 4, dim: Int = 64, seed: Int = 7,
+                        maxBucketSize: Int = 4096): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(col(idCol).as("id"),
+        srpSketch(col(vecCol), bits, dim, seed).as("__sk"))
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("__sk"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    Dedup.bucketedPairs(banded, maxBucketSize)
+  }
 }

@@ -504,6 +504,19 @@ object Drive {
         "doc_id", "text").orderBy("doc_id")
         .collect().map(r => s"${r.getLong(0)}:'${r.getString(1).replace("\n", "|")}'(${r.getLong(2)}/${r.getLong(3)})")
       println(s"PARA_DEDUP=${pd.mkString(" ")} (expect 1 keeps both, 2 keeps B, 3 empty)")
+      // SRP-LSH training-free embedding near-dup through the public API
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val srpPairs = graft.pipeline.Similarity.srpCandidatePairs(
+        emb, "vec_id", "embedding", bits = 48, bands = 4, dim = 64, seed = 7)
+      println(s"SRP_PAIRS=${srpPairs.count()} of C(${emb.count()},2) possible")
+      srpPairs.orderBy("id1", "id2").show(5)
+      // hostile: empty corpus -> no pairs, no crash; 1-dim vectors fine
+      println("SRP_EMPTY=" + graft.pipeline.Similarity.srpCandidatePairs(
+        emb.limit(0), "vec_id", "embedding").count())
+      println("SRP_1DIM=" + graft.pipeline.Similarity.srpCandidatePairs(
+        Seq((1L, Seq(1.0f)), (2L, Seq(0.9f)), (3L, Seq(-1.0f))).toDF("id", "v"),
+        "id", "v", bits = 8, bands = 4, dim = 1).collect().mkString(" ") +
+        " (expect (1,2) sharing all bands; 3 opposite)")
     }
     spark.stop()
   }
