@@ -204,6 +204,22 @@ object SparkEntry {
         maxBucketSize = Int.MaxValue)
     }),
 
+    // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
+    // et al. substring-dedup regime): positions on the normalized text
+    // whose k-gram fingerprint repeats corpus-wide, merged into maximal
+    // spans; first occurrence by (doc_id, pos) is kept
+    "q_winnow_spans" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.duplicateSpans(d, "doc_id", "text", k = 20, w = 8)
+    }),
+
+    // ---- substring-level dedup: normalized text with duplicated spans
+    // cut out, every input doc present (0 removed when span-free)
+    "q_substring_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.substringDedup(d, "doc_id", "text", k = 20, w = 8)
+    }),
+
     // ---- signed-random-projection band candidate pairs: training-free
     // embedding-cosine near-dup (the LSH complement of q_ivf_neardup).
     // Integer-quantized projections against md5-derived Rademacher planes
@@ -451,6 +467,46 @@ object SparkEntry {
       Pack.concatChunk(sampled, "doc_id", "tok", budget = 512, nShards = 8)
     })
   )
+
+  /** Shared CTE chain for the winnowing oracles: normalize -> k-gram md5
+    * hashes -> leftmost-min winnowing selection -> corpus-wide duplicate
+    * fingerprints (globally-first (doc, pos) kept) -> island merge (`sp`
+    * carries (doc_id, span, pos)). k = 20, w = 8 inlined.
+    */
+  private val WinnowOracleCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, nm, len(nm) - 20 + 1 AS n,
+      |    list_transform(range(GREATEST(len(nm) - 20 + 1, 0)),
+      |      i -> CAST(concat('0x', substr(md5(substr(nm, CAST(i AS INT) + 1, 20)), 1, 15)) AS BIGINT)) AS h
+      |  FROM d),
+      |sel AS (
+      |  SELECT doc_id, pos, h[pos + 1] AS hash FROM (
+      |    SELECT doc_id, h,
+      |      UNNEST(CASE WHEN n <= 0 THEN []
+      |        WHEN n < 8 THEN [list_position(h, list_aggregate(h, 'min')) - 1]
+      |        ELSE list_transform(range(n - 8 + 1),
+      |          j -> CAST(j AS INT) + list_position(h[CAST(j AS INT) + 1 : CAST(j AS INT) + 8],
+      |                 list_aggregate(h[CAST(j AS INT) + 1 : CAST(j AS INT) + 8], 'min')) - 1)
+      |        END) AS pos
+      |    FROM g)),
+      |fp AS (SELECT DISTINCT doc_id, pos, hash FROM sel),
+      |agg AS (SELECT hash, COUNT(*) AS cnt, MIN({'d': doc_id, 'p': pos}) AS first FROM fp GROUP BY hash),
+      |dup AS (
+      |  SELECT f.doc_id, f.pos FROM fp f JOIN agg a ON f.hash = a.hash
+      |  WHERE a.cnt >= 2 AND NOT (f.doc_id = a.first.d AND f.pos = a.first.p)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos <= MAX(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS newspan
+      |  FROM dup),
+      |sp AS (
+      |  SELECT doc_id, SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span, pos
+      |  FROM isl)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -773,6 +829,32 @@ object SparkEntry {
         |       WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // winnowing recomputed from scratch: k-gram md5 hashes, leftmost-min
+    // selection per w-window, corpus-wide duplicate fingerprints (first
+    // (doc,pos) wins), island merge into spans on the normalized text
+    "q_winnow_spans" ->
+      (WinnowOracleCtes +
+        """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          |  CAST(MAX(pos) + 20 AS BIGINT) AS span_end
+          |FROM sp GROUP BY doc_id, span""".stripMargin),
+
+    "q_substring_dedup" ->
+      (WinnowOracleCtes +
+        """,spans AS (
+          |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+          |  FROM sp GROUP BY doc_id, span),
+          |segs AS (
+          |  SELECT doc_id, s, e,
+          |    COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+          |  FROM spans)
+          |SELECT g.doc_id,
+          |  COALESCE(string_agg(substr(g.nm, sg.prev_e + 1, sg.s - sg.prev_e), '' ORDER BY sg.s), '')
+          |    || substr(g.nm, COALESCE(MAX(sg.e) + 1, 1)) AS text_clean,
+          |  CAST(COALESCE(SUM(sg.e - sg.s), 0) AS BIGINT) AS chars_removed
+          |FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
+          |GROUP BY g.doc_id, g.nm""".stripMargin),
 
     // SRP sketch recomputed from the raw floats: quantized projections
     // against md5-derived +/-1 planes are exact integer sums, so the sign

@@ -139,6 +139,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(args.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow(text, k, w)")
+        def intArg(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+        }
+        WinnowExpr(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dup_line_ratio"),
       new ExpressionInfo(classOf[DupLineRatio].getName, "dup_line_ratio"),
       (args: Seq[Expression]) => {

@@ -388,4 +388,95 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Whitespace normalization used by the winnowing layer: lowercase, trim,
+    * collapse whitespace runs to a single space — positions emitted by
+    * [[winnowFingerprints]] index into THIS string.
+    */
+  def normalizeWs(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Winnowed (pos, hash) fingerprints per document (MOSS content-defined
+    * sampling — see [[graft.functions.WinnowExpr]]): one row per selected
+    * k-gram, positions 0-based into [[normalizeWs]] text. Any two docs
+    * sharing a normalized substring of length >= w + k - 1 share at least
+    * one fingerprint; expected density 2/(w+1) per character.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 20, w: Int = 8): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val fp = bridge.column(graft.functions.WinnowExpr(bridge.expression(col(textCol)), k, w))
+    df.select(col(idCol), explode(fp).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.hash").as("hash"))
+  }
+
+  /** Duplicated-substring spans per document: winnowed fingerprints that
+    * occur more than once corpus-wide (all occurrences EXCEPT the globally
+    * first by (id, pos) — first occurrence wins, like [[paragraphDedup]])
+    * mark their k-char gram as duplicated; overlapping-or-adjacent marked
+    * grams merge into maximal spans [span_start, span_end) on the
+    * normalized text. The substring-level dedup regime of Lee et al.
+    * (ACL'22), winnowing-sampled so no suffix array is needed.
+    *
+    * Scale shape: the fingerprint aggregate is map-side combinable and the
+    * verdict join is AQE-skew-splittable (a boilerplate gram shared by
+    * 10^9 docs is ONE agg row, never a window sort — the [[exact]] rule);
+    * the island merge uses a per-document window, bounded by document
+    * length. Span granularity is the SELECTED windows: at least k chars of
+    * every >= (w+k-1)-length duplicate are flagged, but unselected gram
+    * positions inside the duplicate are not — detection-grade, not a full
+    * suffix-array match extension.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20, w: Int = 8, minCount: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val agg = fp.groupBy(col("hash"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
+      .filter(col("__cnt") >= minCount)
+    val dup = fp.join(agg, Seq("hash"))
+      .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
+      .select(col(idCol), col("pos"))
+    val Wnd = org.apache.spark.sql.expressions.Window
+    val byDoc = Wnd.partitionBy(idCol).orderBy("pos")
+    val newSpan = when(col("pos") <=
+        max(col("pos") + k).over(byDoc.rowsBetween(Wnd.unboundedPreceding, -1)), 0)
+      .otherwise(1)
+    dup.withColumn("__span", sum(newSpan).over(
+        byDoc.rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Substring-level dedup: every document minus its [[duplicateSpans]],
+    * rebuilt from the normalized text. Output: (id, text_clean,
+    * chars_removed) for EVERY input document (span-free docs pass through
+    * with 0 removed). Spans per doc are bounded by doc length, so the
+    * rebuild aggregate buffer is bounded too.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20, w: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, w, minCount)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("__spans"),
+        sum(col("span_end") - col("span_start")).as("chars_removed"))
+    val norm = normalizeWs(col(textCol))
+    df.select(col(idCol), norm.as("__nm"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col("__nm")).otherwise(
+          aggregate(col("__spans"),
+            struct(lit(0L).as("last"), lit("").as("acc")),
+            (st, sp) => struct(
+              sp.getField("span_end").as("last"),
+              concat(st.getField("acc"),
+                col("__nm").substr((st.getField("last") + 1).cast("int"),
+                  (sp.getField("span_start") - st.getField("last")).cast("int"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("__nm").substr((st.getField("last") + 1).cast("int"), length(col("__nm"))))))
+          .as("text_clean"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+  }
 }

@@ -517,6 +517,21 @@ object Drive {
         Seq((1L, Seq(1.0f)), (2L, Seq(0.9f)), (3L, Seq(-1.0f))).toDF("id", "v"),
         "id", "v", bits = 8, bands = 4, dim = 1).collect().mkString(" ") +
         " (expect (1,2) sharing all bands; 3 opposite)")
+      // winnowed substring dedup end-to-end on the documents corpus
+      val wdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val wout = graft.pipeline.Dedup.substringDedup(wdocs, "doc_id", "text")
+      val wagg = wout.agg(sum("chars_removed"), count(lit(1))).collect()(0)
+      println(s"WINNOW_REMOVED=${wagg.getLong(0)} chars over ${wagg.getLong(1)} docs")
+      graft.pipeline.Dedup.duplicateSpans(wdocs, "doc_id", "text")
+        .orderBy("doc_id", "span_start").show(5)
+      // hostile: empty corpus and sub-k docs -> pass-through, no crash
+      println("WINNOW_EMPTY=" + graft.pipeline.Dedup.substringDedup(
+        wdocs.limit(0), "doc_id", "text").count())
+      println("WINNOW_TINY=" + graft.pipeline.Dedup.substringDedup(
+        Seq((1L, "tiny"), (2L, "  ALSO   tiny  ")).toDF("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id").collect()
+        .map(r => s"${r.getLong(0)}:'${r.getString(1)}'(${r.getLong(2)})").mkString(" ") +
+        " (expect 1:'tiny'(0) 2:'also tiny'(0))")
     }
     spark.stop()
   }
