@@ -429,7 +429,11 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 20, w: Int = 8, minCount: Int = 2): DataFrame = {
-    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    // lazy localCheckpoint: the fingerprint frame feeds BOTH the aggregate
+    // and the verdict join, and its scan is the expensive part (one md5 per
+    // character position) — share one materialization across the branches,
+    // ~20 bytes/row stored, ContextCleaner-GC'd (the Dedup.exact rule)
+    val fp = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint(false)
     val agg = fp.groupBy(col("hash"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
