@@ -204,6 +204,24 @@ object SparkEntry {
         maxBucketSize = Int.MaxValue)
     }),
 
+    // ---- materialized sequence packing: documents' token ids concatenated
+    // per shard and cut every seqLen tokens (the input_ids producer for a
+    // training run). Word ids here are md5-derived so DuckDB can recompute
+    // them; the BPE-id path is golden-pinned in BpeSpec (merges aren't
+    // SQL-expressible). Output exploded to scalars for a robust compare.
+    "q_pack_ids" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val words = filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0)
+      val ids = transform(words, w =>
+        pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(32768L)).cast("int"))
+      val packed = graft.pipeline.Pack.packSequences(
+        d.withColumn("ids", ids), "doc_id", "ids", seqLen = 128, nShards = 8)
+      packed.select(col("shard").cast("long").as("shard"), col("seq"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("long").as("token_id"))
+    }),
+
     // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
     // et al. substring-dedup regime): positions on the normalized text
     // whose k-gram fingerprint repeats corpus-wide, merged into maximal
@@ -829,6 +847,25 @@ object SparkEntry {
         |       WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // the packing recomputed as pure window arithmetic: global token
+    // position within the shard, divided into seqLen sequences
+    "q_pack_ids" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tok AS (SELECT shard, doc_id, ws, UNNEST(range(len(ws))) AS k FROM t),
+        |tok2 AS (
+        |  SELECT shard, doc_id, k,
+        |    CAST(CAST(concat('0x', substr(md5(ws[CAST(k AS INT) + 1]), 1, 15)) AS BIGINT) % 32768 AS BIGINT) AS token_id
+        |  FROM tok),
+        |g AS (
+        |  SELECT shard, token_id,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, k) - 1 AS gpos
+        |  FROM tok2)
+        |SELECT CAST(shard AS BIGINT) AS shard, gpos // 128 AS seq, gpos % 128 AS pos, token_id
+        |FROM g""".stripMargin,
 
     // winnowing recomputed from scratch: k-gram md5 hashes, leftmost-min
     // selection per w-window, corpus-wide duplicate fingerprints (first

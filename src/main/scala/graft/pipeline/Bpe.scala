@@ -84,6 +84,43 @@ final class BpeModel(val merges: Array[(String, String)]) extends Serializable {
   }
 }
 
+/** BPE tokens to vocabulary ids: id = position in the vocab list (line
+  * index of `bpe_vocab.txt`-style files); tokens absent from the vocab map
+  * to `<unk>` = id 0 (the list's head by convention). Serializable so it
+  * rides as a reference object in [[graft.functions.BpeEncode]].
+  */
+final class BpeEncoder(val model: BpeModel, vocab: Array[String]) extends Serializable {
+  require(vocab.nonEmpty, "vocab must at least contain the <unk> token at id 0")
+
+  private val ids = new java.util.HashMap[String, Integer](vocab.length * 2)
+  vocab.zipWithIndex.foreach { case (tok, i) => ids.putIfAbsent(tok, Integer.valueOf(i)) }
+
+  def idOf(token: String): Int = {
+    val v = ids.get(token)
+    if (v == null) 0 else v.intValue()
+  }
+
+  def encode(text: String): Array[Int] = {
+    if (text == null) return Array.empty
+    val ws = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < ws.length) {
+      if (ws(i).nonEmpty) {
+        val toks = model.tokenizeWord(ws(i))
+        var j = 0
+        while (j < toks.length) { out += idOf(toks(j)); j += 1 }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Codegen-friendly wrapper returning Catalyst array data directly. */
+  def encodeArrayData(text: String): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(encode(text))
+}
+
 object BpeModel {
   val Eow = "</w>"
 
@@ -106,5 +143,17 @@ object BpeModel {
   def countCol(text: Column, model: BpeModel): Column = {
     val bridge = org.apache.spark.sql.graft.GraftSqlBridge
     bridge.column(graft.functions.BpeCount(bridge.expression(text), model))
+  }
+
+  /** One token per line, id = line index (line 0 = `<unk>`). */
+  def loadVocabFile(path: String): Array[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().toArray finally src.close()
+  }
+
+  /** Token-id encoding column through the native expression. */
+  def encodeCol(text: Column, encoder: BpeEncoder): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.functions.BpeEncode(bridge.expression(text), encoder))
   }
 }

@@ -97,4 +97,82 @@ object Pack {
       }
     }.toDF(idCol, "shard", "bin")
   }
+
+  /** Materialized concat-and-split packing: emits the actual fixed-length
+    * training sequences, not just chunk assignments. Documents' token-id
+    * arrays (e.g. from [[BpeModel.encodeCol]]) are concatenated in
+    * ascending id order within each shard and cut every `seqLen` tokens; a
+    * document may span sequences; the final partial sequence of each shard
+    * is emitted with n_tokens < seqLen. Output: (shard, seq, input_ids,
+    * n_tokens, n_docs) where n_docs counts documents contributing >= 1
+    * token to the sequence. Token-less documents occupy no slot.
+    *
+    * Scale shape: [[greedyPack]]'s — one range shuffle on the shard id +
+    * one sort, then a linear per-shard stream; per-task state is ONE
+    * seqLen-sized buffer, so sequence length never inflates memory and
+    * throughput scales with shards. Equivalent by construction to the SQL
+    * formulation "global position within shard divided by seqLen" (the
+    * driver oracle recomputes it that way).
+    */
+  def packSequences(docs: DataFrame, idCol: String, idsCol: String,
+                    seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .select(col(idCol).cast("long").as("id"),
+        shardCol(idCol, nShards).as("shard"),
+        coalesce(col(idsCol), array()).cast("array<int>").as("ids"))
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Int, Array[Int])]
+    prepared.mapPartitions { it =>
+      new Iterator[(Int, Long, Array[Int], Int, Int)] {
+        private val pending = scala.collection.mutable.Queue.empty[(Int, Long, Array[Int], Int, Int)]
+        private var curShard = Int.MinValue
+        private var seqNo = 0L
+        private var buf = new Array[Int](seqLen)
+        private var n = 0
+        private var docsIn = 0
+        private var exhausted = false
+
+        private def flushPartial(): Unit = if (n > 0) {
+          pending += ((curShard, seqNo, java.util.Arrays.copyOf(buf, n), n, docsIn))
+          seqNo += 1; n = 0; docsIn = 0
+        }
+
+        private def advance(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (_, shard, ids) = it.next()
+            if (shard != curShard) {
+              flushPartial()
+              curShard = shard; seqNo = 0L; n = 0; docsIn = 0
+            }
+            if (ids.nonEmpty) {
+              docsIn += 1
+              var off = 0
+              while (off < ids.length) {
+                val take = math.min(seqLen - n, ids.length - off)
+                System.arraycopy(ids, off, buf, n, take)
+                n += take; off += take
+                if (n == seqLen) {
+                  pending += ((curShard, seqNo, java.util.Arrays.copyOf(buf, n), n, docsIn))
+                  seqNo += 1; n = 0
+                  docsIn = if (off < ids.length) 1 else 0
+                }
+              }
+            }
+          }
+          if (pending.isEmpty && !it.hasNext && !exhausted) {
+            exhausted = true
+            flushPartial()
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending.nonEmpty }
+        override def next(): (Int, Long, Array[Int], Int, Int) = { advance(); pending.dequeue() }
+      }
+    }.toDF("shard", "seq", "input_ids", "n_tokens", "n_docs")
+  }
 }

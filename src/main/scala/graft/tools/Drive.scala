@@ -527,6 +527,18 @@ object Drive {
       // hostile: empty corpus and sub-k docs -> pass-through, no crash
       println("WINNOW_EMPTY=" + graft.pipeline.Dedup.substringDedup(
         wdocs.limit(0), "doc_id", "text").count())
+      // BPE encode -> packed input_ids: the text-to-training-sequences path
+      val bpeEnc = new graft.pipeline.BpeEncoder(
+        graft.pipeline.BpeModel.loadFile("src/test/resources/fixtures/bpe_merges.txt"),
+        graft.pipeline.BpeModel.loadVocabFile("src/test/resources/fixtures/bpe_vocab.txt"))
+      val encDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("ids", graft.pipeline.BpeModel.encodeCol(col("text"), bpeEnc))
+      val seqs = graft.pipeline.Pack.packSequences(encDocs, "doc_id", "ids", 256, 4)
+      val sAgg = seqs.agg(count(lit(1)), sum("n_tokens"),
+        sum(when(col("n_tokens") === 256, 1).otherwise(0))).collect()(0)
+      val directToks = encDocs.select(sum(size(col("ids")))).collect()(0).getLong(0)
+      println(s"PACK_IDS seqs=${sAgg.getLong(0)} tokens=${sAgg.getLong(1)} full=${sAgg.getLong(2)}" +
+        s" conserve=${sAgg.getLong(1) == directToks} (expect conserve=true, full=seqs-4..seqs)")
       println("WINNOW_TINY=" + graft.pipeline.Dedup.substringDedup(
         Seq((1L, "tiny"), (2L, "  ALSO   tiny  ")).toDF("doc_id", "text"),
         "doc_id", "text").orderBy("doc_id").collect()

@@ -42,6 +42,42 @@ class BpeSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  lazy val encoder: BpeEncoder =
+    new BpeEncoder(model, BpeModel.loadVocabFile(res("/fixtures/bpe_vocab.txt")))
+  lazy val idsGolden: Seq[(String, Seq[Int])] = {
+    val src = scala.io.Source.fromFile(res("/fixtures/bpe_ids_golden.tsv"), "UTF-8")
+    try src.getLines().toVector.map { l =>
+      val parts = l.split("\t", -1)
+      (parts(0), if (parts.length < 2 || parts(1).isEmpty) Nil
+                 else parts(1).split(" ").toSeq.map(_.toInt))
+    } finally src.close()
+  }
+
+  test("driver-side encode matches the Python ids golden exactly") {
+    idsGolden.foreach { case (text, ids) =>
+      assert(encoder.encode(text).toSeq == ids, s"'$text'")
+    }
+    // ids are consistent with tokens: decoding id back through the vocab
+    // position must reproduce the token (no unk needed on corpus text)
+    val vocab = BpeModel.loadVocabFile(res("/fixtures/bpe_vocab.txt"))
+    val (t0, toks0) = (golden.head._1, golden.head._3)
+    assert(encoder.encode(t0).toSeq.map(vocab(_)) == toks0)
+    // unseen characters map to <unk> = 0
+    assert(encoder.encode("ééé").forall(i => i == 0 || vocab(i) == BpeModel.Eow))
+  }
+
+  test("native bpe_encode column matches the golden through codegen") {
+    val df = idsGolden.map(_._1).toDF("text").repartition(2)
+    val got = df.select(col("text"), BpeModel.encodeCol(col("text"), encoder).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    idsGolden.foreach { case (text, ids) =>
+      assert(got(text) == ids, s"'$text': ${got(text)} vs $ids")
+    }
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(BpeModel.encodeCol(col("text"), encoder).as("ids")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("counts are stable on the documents fixture and fallback stays available") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val r = docs.select(

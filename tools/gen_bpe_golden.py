@@ -5,6 +5,10 @@ tokenizer (graft.pipeline.Bpe):
 - src/test/resources/fixtures/bpe_merges.txt   — ranked merge list "a b"
 - src/test/resources/fixtures/bpe_golden.tsv   — text<TAB>count<TAB>tokens
   (tokens space-joined; words never contain whitespace)
+- src/test/resources/fixtures/bpe_vocab.txt    — one token per line, id =
+  line index; line 0 is "<unk>", then all corpus-reachable symbols sorted
+- src/test/resources/fixtures/bpe_ids_golden.tsv — text<TAB>space-joined ids
+  (tokens absent from the vocab map to <unk> = 0)
 
 Algorithm (Sennrich-style word-level BPE, character base):
 - normalize: lowercase, split on whitespace
@@ -117,7 +121,23 @@ def main():
     with open("src/test/resources/fixtures/bpe_golden.tsv", "w") as f:
         for t, (n, toks) in golden.items():
             f.write(f"{t}\t{n}\t{' '.join(toks)}\n")
-    print(f"{len(merges)} merges; golden for {len(TEST_TEXTS)} texts")
+    # vocab: <unk> + every corpus-reachable symbol (base chars + EOW +
+    # merge components and results), sorted by code point — id = line index
+    symbols = set()
+    for w in words(CORPUS):
+        symbols.update(w)
+    symbols.add(EOW)
+    for a, b in merges:
+        symbols.update((a, b, a + b))
+    vocab = ["<unk>"] + sorted(symbols)
+    ids = {tok: i for i, tok in enumerate(vocab)}
+    with open("src/test/resources/fixtures/bpe_vocab.txt", "w") as f:
+        for tok in vocab:
+            f.write(tok + "\n")
+    with open("src/test/resources/fixtures/bpe_ids_golden.tsv", "w") as f:
+        for t, (_, toks) in golden.items():
+            f.write(f"{t}\t{' '.join(str(ids.get(tok, 0)) for tok in toks)}\n")
+    print(f"{len(merges)} merges; vocab {len(vocab)}; golden for {len(TEST_TEXTS)} texts")
     for t in TEST_TEXTS[:3]:
         print(repr(t), "->", golden[t][0], golden[t][1][:8])
 
