@@ -104,8 +104,13 @@ object Pack {
     * ascending id order within each shard and cut every `seqLen` tokens; a
     * document may span sequences; the final partial sequence of each shard
     * is emitted with n_tokens < seqLen. Output: (shard, seq, input_ids,
-    * n_tokens, n_docs) where n_docs counts documents contributing >= 1
-    * token to the sequence. Token-less documents occupy no slot.
+    * n_tokens, n_docs, doc_starts) where n_docs counts documents
+    * contributing >= 1 token to the sequence and doc_starts holds the
+    * offset of each such document's first token in THIS sequence (a doc
+    * carried over from the previous sequence starts at 0) — the boundary
+    * list a trainer needs to reset position ids / mask cross-document
+    * attention inside packed sequences. Token-less documents occupy no
+    * slot.
     *
     * Scale shape: [[greedyPack]]'s — one range shuffle on the shard id +
     * one sort, then a linear per-shard stream; per-task state is ONE
@@ -128,51 +133,54 @@ object Pack {
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Int, Array[Int])]
     prepared.mapPartitions { it =>
-      new Iterator[(Int, Long, Array[Int], Int, Int)] {
-        private val pending = scala.collection.mutable.Queue.empty[(Int, Long, Array[Int], Int, Int)]
+      new Iterator[(Int, Long, Array[Int], Int, Int, Array[Int])] {
+        private val pending =
+          scala.collection.mutable.Queue.empty[(Int, Long, Array[Int], Int, Int, Array[Int])]
         private var curShard = Int.MinValue
         private var seqNo = 0L
         private var buf = new Array[Int](seqLen)
         private var n = 0
-        private var docsIn = 0
+        private var starts = scala.collection.mutable.ArrayBuffer.empty[Int]
         private var exhausted = false
 
-        private def flushPartial(): Unit = if (n > 0) {
-          pending += ((curShard, seqNo, java.util.Arrays.copyOf(buf, n), n, docsIn))
-          seqNo += 1; n = 0; docsIn = 0
+        private def emit(): Unit = {
+          pending += ((curShard, seqNo, java.util.Arrays.copyOf(buf, n), n,
+            starts.length, starts.toArray))
+          seqNo += 1; n = 0; starts.clear()
         }
 
         private def advance(): Unit = {
           while (pending.isEmpty && it.hasNext) {
             val (_, shard, ids) = it.next()
             if (shard != curShard) {
-              flushPartial()
-              curShard = shard; seqNo = 0L; n = 0; docsIn = 0
+              if (n > 0) emit()
+              curShard = shard; seqNo = 0L; n = 0; starts.clear()
             }
             if (ids.nonEmpty) {
-              docsIn += 1
+              starts += n
               var off = 0
               while (off < ids.length) {
                 val take = math.min(seqLen - n, ids.length - off)
                 System.arraycopy(ids, off, buf, n, take)
                 n += take; off += take
                 if (n == seqLen) {
-                  pending += ((curShard, seqNo, java.util.Arrays.copyOf(buf, n), n, docsIn))
-                  seqNo += 1; n = 0
-                  docsIn = if (off < ids.length) 1 else 0
+                  emit()
+                  if (off < ids.length) starts += 0 // carried doc resumes at 0
                 }
               }
             }
           }
           if (pending.isEmpty && !it.hasNext && !exhausted) {
             exhausted = true
-            flushPartial()
+            if (n > 0) emit()
           }
         }
 
         override def hasNext: Boolean = { advance(); pending.nonEmpty }
-        override def next(): (Int, Long, Array[Int], Int, Int) = { advance(); pending.dequeue() }
+        override def next(): (Int, Long, Array[Int], Int, Int, Array[Int]) = {
+          advance(); pending.dequeue()
+        }
       }
-    }.toDF("shard", "seq", "input_ids", "n_tokens", "n_docs")
+    }.toDF("shard", "seq", "input_ids", "n_tokens", "n_docs", "doc_starts")
   }
 }

@@ -28,6 +28,10 @@ class PackSequencesSpec extends SparkSpec {
     df.collect().map(r => (r.getInt(0), r.getLong(1)) ->
       ((r.getSeq[Int](2), r.getInt(3), r.getInt(4)))).toMap
 
+  private def collectStarts(df: org.apache.spark.sql.DataFrame)
+      : Map[(Int, Long), Seq[Int]] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Int](5)).toMap
+
   test("stream packing equals the arithmetic mirror on random-ish docs") {
     val docs = (0L until 60L).map(i =>
       (i, (0 until ((i * 7 + 3) % 23).toInt).map(j => (i * 100 + j).toInt)))
@@ -55,6 +59,9 @@ class PackSequencesSpec extends SparkSpec {
     assert(got((0, 2L))._1 === big.slice(32, 40))
     assert(got((0, 2L))._2 === 8) // partial tail emitted
     assert(got.values.forall(_._3 === 1)) // the one doc touches each chunk
+    // carried doc resumes at offset 0 in every later sequence
+    val starts = collectStarts(Pack.packSequences(df, "doc_id", "ids", L, nShards = 1))
+    assert(starts.values.toSeq.forall(_ === Seq(0)))
   }
 
   test("n_docs counts documents contributing tokens; empty docs don't") {
@@ -63,9 +70,16 @@ class PackSequencesSpec extends SparkSpec {
       (1L, Seq.empty[Int]), // no slot
       (2L, Seq(9, 10, 11, 12, 13, 14, 15, 16)), // fills chunk 0 exactly
       (3L, Seq(17, 18))).toDF("doc_id", "ids")
-    val got = collectPacked(Pack.packSequences(df, "doc_id", "ids", L, nShards = 1))
+    val packed = Pack.packSequences(df, "doc_id", "ids", L, nShards = 1)
+    val got = collectPacked(packed)
     assert(got((0, 0L)) === ((1 to 16).toSeq, 16, 2)) // docs 0 and 2
     assert(got((0, 1L)) === (Seq(17, 18), 2, 1)) // doc 3 only
+    // doc boundaries: doc 0 starts at 0, doc 2 at 8; doc 3 at 0 of seq 1
+    val starts = collectStarts(packed)
+    assert(starts((0, 0L)) === Seq(0, 8))
+    assert(starts((0, 1L)) === Seq(0))
+    // n_docs always equals the boundary count
+    assert(got.forall { case (k, (_, _, nd)) => nd === starts(k).length })
   }
 
   test("shards are independent streams; empty input -> no sequences") {
