@@ -483,18 +483,43 @@ object SparkEntry {
         Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.25, "de" -> 0.75, "es" -> 0.5), seed = 11)
         .withColumn("tok", TextOps.tokenCount(col("text")).cast("long"))
       Pack.concatChunk(sampled, "doc_id", "tok", budget = 512, nShards = 8)
+    }),
+
+    // ---- the full text-to-training-sequences pipeline, composed from the
+    // public operators: quality gate -> winnowed substring dedup ->
+    // tokenize the CLEANED text (md5 word ids so DuckDB can recompute) ->
+    // materialized sequence packing; output exploded to scalars
+    "q_curate_pack" -> ((s, dir) => {
+      import graft.pipeline._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val gated = d.withColumn("q", TextOps.qualityScore(col("text")))
+        .where(col("q") >= 0.5).select("doc_id", "text")
+      val deduped = Dedup.substringDedup(gated, "doc_id", "text")
+      // text_clean is normalized (single spaces) but span cuts can splice
+      // two spaces together -> split on the literal space, drop empties
+      val words = filter(split(col("text_clean"), " ", -1), w => length(w) > 0)
+      val ids = transform(words, w =>
+        pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(32768L)).cast("int"))
+      val packed = Pack.packSequences(
+        deduped.withColumn("ids", ids), "doc_id", "ids", seqLen = 128, nShards = 4)
+      packed.select(col("shard").cast("long").as("shard"), col("seq"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("long").as("token_id"))
     })
   )
 
   /** Shared CTE chain for the winnowing oracles: normalize -> k-gram md5
     * hashes -> leftmost-min winnowing selection -> corpus-wide duplicate
     * fingerprints (globally-first (doc, pos) kept) -> island merge (`sp`
-    * carries (doc_id, span, pos)). k = 20, w = 8 inlined.
+    * carries (doc_id, span, pos)). k = 20, w = 8 inlined. `source` must
+    * expose (doc_id, text); the string carries no leading WITH so callers
+    * can prepend their own CTEs.
     */
-  private val WinnowOracleCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm
-      |  FROM documents),
+  private def winnowCtes(source: String): String =
+    s"""d AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+      |  FROM $source),
       |g AS (
       |  SELECT doc_id, nm, len(nm) - 20 + 1 AS n,
       |    list_transform(range(GREATEST(len(nm) - 20 + 1, 0)),
@@ -525,6 +550,27 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span, pos
       |  FROM isl)
       |""".stripMargin
+
+  /** Span merge + cleaned-text rebuild on top of [[winnowCtes]]'s `sp` and
+    * `g` (needs g.nm): yields `rebuilt(doc_id, text_clean, chars_removed)`.
+    * No leading/trailing comma.
+    */
+  private val WinnowRebuildCtes: String =
+    """spans AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+      |  FROM sp GROUP BY doc_id, span),
+      |segs AS (
+      |  SELECT doc_id, s, e,
+      |    COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+      |  FROM spans),
+      |rebuilt AS (
+      |  SELECT g.doc_id,
+      |    COALESCE(string_agg(substr(g.nm, sg.prev_e + 1, sg.s - sg.prev_e), '' ORDER BY sg.s), '')
+      |      || substr(g.nm, COALESCE(MAX(sg.e) + 1, 1)) AS text_clean,
+      |    CAST(COALESCE(SUM(sg.e - sg.s), 0) AS BIGINT) AS chars_removed
+      |  FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
+      |  GROUP BY g.doc_id, g.nm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -871,27 +917,48 @@ object SparkEntry {
     // selection per w-window, corpus-wide duplicate fingerprints (first
     // (doc,pos) wins), island merge into spans on the normalized text
     "q_winnow_spans" ->
-      (WinnowOracleCtes +
+      ("WITH " + winnowCtes("documents") +
         """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
           |  CAST(MAX(pos) + 20 AS BIGINT) AS span_end
           |FROM sp GROUP BY doc_id, span""".stripMargin),
 
     "q_substring_dedup" ->
-      (WinnowOracleCtes +
-        """,spans AS (
-          |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
-          |  FROM sp GROUP BY doc_id, span),
-          |segs AS (
-          |  SELECT doc_id, s, e,
-          |    COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
-          |  FROM spans)
-          |SELECT g.doc_id,
-          |  COALESCE(string_agg(substr(g.nm, sg.prev_e + 1, sg.s - sg.prev_e), '' ORDER BY sg.s), '')
-          |    || substr(g.nm, COALESCE(MAX(sg.e) + 1, 1)) AS text_clean,
-          |  CAST(COALESCE(SUM(sg.e - sg.s), 0) AS BIGINT) AS chars_removed
-          |FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
-          |GROUP BY g.doc_id, g.nm""".stripMargin),
+      ("WITH " + winnowCtes("documents") + "," + WinnowRebuildCtes +
+        "\nSELECT doc_id, text_clean, chars_removed FROM rebuilt"),
+
+    // the composed pipeline recomputed stage by stage: quality gate (the
+    // q_curate formulation), winnow chain + rebuild over the GATED set,
+    // md5 word ids on the cleaned text, global-position packing
+    "q_curate_pack" ->
+      ("""WITH qs AS (
+        |  SELECT doc_id, text,
+        |    ROUND(
+        |      LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
+        |      * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
+        |      * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
+        |      * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
+        |               OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
+        |      * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
+        |            GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
+        |    , 6) AS q
+        |  FROM documents),
+        |gate AS (SELECT doc_id, text FROM qs WHERE q >= 0.5),
+        |""".stripMargin + winnowCtes("gate") + "," + WinnowRebuildCtes + "," +
+        """
+        |wds AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS shard,
+        |  list_filter(string_split(text_clean, ' '), x -> len(x) > 0) AS ws FROM rebuilt),
+        |tk AS (SELECT shard, doc_id, ws, UNNEST(range(len(ws))) AS k FROM wds),
+        |tk2 AS (
+        |  SELECT shard, doc_id, k,
+        |    CAST(CAST(concat('0x', substr(md5(ws[CAST(k AS INT) + 1]), 1, 15)) AS BIGINT) % 32768 AS BIGINT) AS token_id
+        |  FROM tk),
+        |gp AS (
+        |  SELECT shard, token_id,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, k) - 1 AS gpos
+        |  FROM tk2)
+        |SELECT CAST(shard AS BIGINT) AS shard, gpos // 128 AS seq, gpos % 128 AS pos, token_id
+        |FROM gp""".stripMargin),
 
     // SRP sketch recomputed from the raw floats: quantized projections
     // against md5-derived +/-1 planes are exact integer sums, so the sign
