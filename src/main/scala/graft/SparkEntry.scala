@@ -572,6 +572,22 @@ object SparkEntry {
       |  FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
       |  GROUP BY g.doc_id, g.nm)""".stripMargin
 
+  /** DuckDB mirror of `TextOps.qualityScore` over a column named `text`,
+    * rounded to 6 — the SINGLE source spliced by the q_text_stats,
+    * q_curate, and q_curate_pack oracles (no alias, no trailing comma).
+    */
+  private val QualityScoreSql: String =
+    """ROUND(
+      |      LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
+      |      * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
+      |      * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
+      |      * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
+      |               OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
+      |      * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |            x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
+      |            GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
+      |    , 6)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_pit_events" ->
@@ -638,7 +654,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_stats" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
         |  CAST(length(text) AS BIGINT) AS char_count,
         |  ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
@@ -646,18 +662,9 @@ object SparkEntry {
         |  ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |        x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 1.0 /
         |        GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 6) AS stopword_ratio,
-        |  ROUND(
-        |    LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
-        |    * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
-        |    * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
-        |    * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
-        |             OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
-        |    * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |          x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
-        |          GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
-        |  , 6) AS quality,
+        |""".stripMargin + "  " + QualityScoreSql + """ AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents""".stripMargin,
+        |FROM documents""".stripMargin),
 
     "q_repetition" ->
       """WITH t AS (
@@ -932,16 +939,7 @@ object SparkEntry {
     "q_curate_pack" ->
       ("""WITH qs AS (
         |  SELECT doc_id, text,
-        |    ROUND(
-        |      LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
-        |      * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
-        |      * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
-        |      * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
-        |               OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
-        |      * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |            x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
-        |            GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
-        |    , 6) AS q
+        |""".stripMargin + "    " + QualityScoreSql + """ AS q
         |  FROM documents),
         |gate AS (SELECT doc_id, text FROM qs WHERE q >= 0.5),
         |""".stripMargin + winnowCtes("gate") + "," + WinnowRebuildCtes + "," +
@@ -973,10 +971,14 @@ object SparkEntry {
         |  FROM bitsq b, dims d),
         |q AS (
         |  SELECT e.vec_id AS id, d.i AS i,
-        |    CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |    CASE WHEN e.embedding[d.i + 1] IS NULL THEN NULL
+        |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
+        |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS qv
         |  FROM embeddings e, dims d),
         |sgn AS (
-        |  SELECT q.id, p.b AS b, CASE WHEN SUM(q.qv * p.p) >= 0 THEN 1 ELSE 0 END AS bit
+        |  SELECT q.id, p.b AS b,
+        |    CASE WHEN SUM(q.qv * p.p) >= 0 THEN 1 ELSE 0 END AS bit
         |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.id, p.b),
         |sig AS (
         |  SELECT id, CAST(SUM(CAST(bit AS BIGINT) << CAST(b AS INT)) AS BIGINT) AS sk
@@ -1151,19 +1153,10 @@ object SparkEntry {
         |FROM comp c LEFT JOIN r ON c.doc_id = r.doc_id""".stripMargin,
 
     "q_curate" ->
-      """WITH s AS (
+      ("""WITH s AS (
         |  SELECT doc_id, lang, text,
         |    GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS tok,
-        |    ROUND(
-        |      LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 20.0, 1.0)
-        |      * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 5000 THEN 0.5 ELSE 1.0 END)
-        |      * (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / GREATEST(length(text) * 1.0, 1.0) > 0.2 THEN 0.3 ELSE 1.0 END)
-        |      * (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) < 2.0
-        |               OR length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0) > 12.0 THEN 0.5 ELSE 1.0 END)
-        |      * (0.5 + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |            x -> x IN ('the','a','an','and','or','of','to','in','is','that','it','for','on','with'))) * 5.0 /
-        |            GREATEST(len(regexp_split_to_array(trim(text), '\s+')) * 1.0, 1.0), 0.5))
-        |    , 6) AS q,
+        |""".stripMargin + "    " + QualityScoreSql + """ AS q,
         |    ROUND((SELECT CASE WHEN len(l) <= 0 THEN 0.0
         |             ELSE (len(l) - len(list_distinct(l))) * 1.0 / len(l) END
         |           FROM (SELECT list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
@@ -1206,6 +1199,6 @@ object SparkEntry {
         |SELECT doc_id, shard, tok_end - tok AS tok_start,
         |  CAST(FLOOR((tok_end - tok) / 512.0) AS BIGINT) AS chunk_first,
         |  CAST(FLOOR((tok_end - 1) / 512.0) AS BIGINT) AS chunk_last
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin)
   )
 }

@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *    any engine with md5.
   *
   * |q| <= 2^21 for unit-norm-ish embeddings and dim <= 2^40 keeps the sum
-  * far from Long overflow. Null elements and NaN quantize to 0 (no
-  * contribution); vectors longer than `dim` truncate, shorter ones use the
-  * overlap — [[VecDot]]'s laxer total rule.
+  * far from Long overflow. Null and non-finite elements quantize to 0 (no
+  * contribution) — NaN/Inf would otherwise error DuckDB's BIGINT cast
+  * while the JVM silently saturates, the cross-engine divergence class the
+  * oracles must exclude. Vectors longer than `dim` truncate, shorter ones
+  * use the overlap ([[VecDot]]'s laxer total rule). A vector with NO
+  * usable element (empty array or all elements null) sketches to 0 —
+  * the oracle's all-NULL SUM yields bit 0 everywhere, and "all bits set"
+  * for s = 0 would instead bucket every empty vector with genuine
+  * all-positive-projection vectors.
   *
   * The plane matrix rides as ONE bits*dim byte reference object inside
   * whole-stage codegen (the [[IvfProbe]] pattern); like IvfProbe it carries
@@ -64,14 +70,17 @@ case class SrpSketch(child: Expression, bits: Int, dim: Int, seed: Int)
     val n = math.min(a.numElements(), dim)
     val isD = elemIsDouble
     val qv = new Array[Long](n)
+    var terms = 0
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
+        terms += 1
         val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
-        qv(i) = math.floor(x * 1048576.0 + 0.5).toLong // NaN -> 0 (toLong rule)
+        if (java.lang.Double.isFinite(x)) qv(i) = math.floor(x * 1048576.0 + 0.5).toLong
       }
       i += 1
     }
+    if (terms == 0) return 0L
     var out = 0L
     var b = 0
     while (b < bits) {
@@ -93,18 +102,26 @@ case class SrpSketch(child: Expression, bits: Int, dim: Int, seed: Int)
       s"""
          |int ${v}_n = java.lang.Math.min($a.numElements(), $dim);
          |long[] ${v}_qv = new long[${v}_n];
+         |int ${v}_t = 0;
          |for (int ${v}_i = 0; ${v}_i < ${v}_n; ${v}_i++) {
-         |  ${v}_qv[${v}_i] = $a.isNullAt(${v}_i) ? 0L :
-         |    (long) java.lang.Math.floor((double) $a.$get(${v}_i) * 1048576.0 + 0.5);
+         |  if (!$a.isNullAt(${v}_i)) {
+         |    ${v}_t++;
+         |    double ${v}_x = (double) $a.$get(${v}_i);
+         |    if (java.lang.Double.isFinite(${v}_x)) {
+         |      ${v}_qv[${v}_i] = (long) java.lang.Math.floor(${v}_x * 1048576.0 + 0.5);
+         |    }
+         |  }
          |}
          |long ${v}_out = 0L;
-         |for (int ${v}_b = 0; ${v}_b < $bits; ${v}_b++) {
-         |  long ${v}_s = 0L;
-         |  int ${v}_base = ${v}_b * $dim;
-         |  for (int ${v}_j = 0; ${v}_j < ${v}_n; ${v}_j++) {
-         |    ${v}_s += ${v}_qv[${v}_j] * $sref[${v}_base + ${v}_j];
+         |if (${v}_t > 0) {
+         |  for (int ${v}_b = 0; ${v}_b < $bits; ${v}_b++) {
+         |    long ${v}_s = 0L;
+         |    int ${v}_base = ${v}_b * $dim;
+         |    for (int ${v}_j = 0; ${v}_j < ${v}_n; ${v}_j++) {
+         |      ${v}_s += ${v}_qv[${v}_j] * $sref[${v}_base + ${v}_j];
+         |    }
+         |    if (${v}_s >= 0L) ${v}_out |= 1L << ${v}_b;
          |  }
-         |  if (${v}_s >= 0L) ${v}_out |= 1L << ${v}_b;
          |}
          |$v = ${v}_out;
        """.stripMargin

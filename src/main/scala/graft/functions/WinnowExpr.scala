@@ -26,8 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Docs shorter than k grams yield an empty array; docs with fewer than
   * `w` grams are treated as one window (their global min is selected).
-  * Positions count UTF-16 code units, which equals the oracle's
-  * code-point positions on BMP-only text (the fixture is ASCII).
+  * Positions and gram lengths count CODE POINTS — the unit Spark's
+  * `substring`/`length` and DuckDB's `substr`/`len` use — so the span
+  * rebuild in [[graft.pipeline.Dedup.substringDedup]] and the oracle cut
+  * exactly the flagged characters even on astral-plane text (emoji are
+  * routine in web corpora; UTF-16 code-unit positions would shift every
+  * span after the first surrogate pair).
   *
   * One md5 per position dominates the cost (CodegenFallback is one virtual
   * call per ROW on top — the [[SimhashExpr]] trade); window minima come
@@ -53,14 +57,22 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val norm = ws.matcher(input.asInstanceOf[UTF8String].toLowerCase.trim().toString)
       .replaceAll(" ")
-    val n = norm.length - k + 1
+    // code-point offsets: off(i) = UTF-16 index of code point i; the gram
+    // at code-point position i spans norm[off(i), off(i+k))
+    val nCp = norm.codePointCount(0, norm.length)
+    val off = new Array[Int](nCp + 1)
+    var u = 0
+    var cp = 0
+    while (u < norm.length) { off(cp) = u; u += Character.charCount(norm.codePointAt(u)); cp += 1 }
+    off(nCp) = norm.length
+    val n = nCp - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val h = new Array[Long](n)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(norm.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(norm.substring(off(i), off(i + k)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var x = 0L
       var b = 0
       while (b < 7) { x = (x << 8) | (d(b) & 0xFFL); b += 1 }

@@ -100,20 +100,15 @@ final class BpeEncoder(val model: BpeModel, vocab: Array[String]) extends Serial
     if (v == null) 0 else v.intValue()
   }
 
+  /** `tokenize` then map each token to its id — ONE normalization rule
+    * lives in [[BpeModel.tokenize]] (pinned by the Python golden).
+    */
   def encode(text: String): Array[Int] = {
-    if (text == null) return Array.empty
-    val ws = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
-    val out = Array.newBuilder[Int]
+    val toks = model.tokenize(text)
+    val out = new Array[Int](toks.length)
     var i = 0
-    while (i < ws.length) {
-      if (ws(i).nonEmpty) {
-        val toks = model.tokenizeWord(ws(i))
-        var j = 0
-        while (j < toks.length) { out += idOf(toks(j)); j += 1 }
-      }
-      i += 1
-    }
-    out.result()
+    while (i < toks.length) { out(i) = idOf(toks(i)); i += 1 }
+    out
   }
 
   /** Codegen-friendly wrapper returning Catalyst array data directly. */

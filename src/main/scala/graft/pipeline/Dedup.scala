@@ -233,13 +233,22 @@ object Dedup {
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             bits: Int = 32, bands: Int = 4,
-                            maxBucketSize: Int = 4096): DataFrame = {
+                            maxBucketSize: Int = 4096): DataFrame =
+    bandedSketchPairs(df, idCol, simhash(col(textCol), bits), bits, bands, maxBucketSize)
+
+  /** Band-split a long bit-sketch column into `bands` contiguous bit
+    * ranges and emit within-bucket candidate pairs — the shared back half
+    * of the SimHash and SRP pipelines ([[bucketedPairs]] shape and caps).
+    */
+  private[pipeline] def bandedSketchPairs(df: DataFrame, idCol: String, sketch: Column,
+                                          bits: Int, bands: Int,
+                                          maxBucketSize: Int): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val banded = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("__sh"))
+    val banded = df.select(col(idCol).as("id"), sketch.as("__sk"))
       .select(col("id"), posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col("__sk"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
     bucketedPairs(banded, maxBucketSize)
   }

@@ -412,15 +412,7 @@ object Similarity {
     */
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         bits: Int = 48, bands: Int = 4, dim: Int = 64, seed: Int = 7,
-                        maxBucketSize: Int = 4096): DataFrame = {
-    require(bits % bands == 0, "bits must divide evenly into bands")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val banded = df.select(col(idCol).as("id"),
-        srpSketch(col(vecCol), bits, dim, seed).as("__sk"))
-      .select(col("id"), posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("__sk"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bucket")))
-    Dedup.bucketedPairs(banded, maxBucketSize)
-  }
+                        maxBucketSize: Int = 4096): DataFrame =
+    Dedup.bandedSketchPairs(df, idCol, srpSketch(col(vecCol), bits, dim, seed),
+      bits, bands, maxBucketSize)
 }

@@ -59,6 +59,24 @@ class SrpSketchSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("degenerate vectors match the oracle rule: empty/all-null -> 0, non-finite -> no term") {
+    val df = Seq(
+      (1L, Some(Seq.empty[Option[Float]])), // empty -> sketch 0
+      (2L, Some(Seq[Option[Float]](None, None, None))), // all null -> sketch 0
+      (3L, Some(Seq[Option[Float]](Some(Float.NaN), Some(1.0f), Some(-2.0f)))),
+      (4L, Some(Seq[Option[Float]](Some(0.0f), Some(1.0f), Some(-2.0f)))),
+      (5L, Some(Seq[Option[Float]](Some(Float.PositiveInfinity), Some(1.0f), Some(-2.0f))))
+    ).toDF("id", "vec")
+    val got = df.select(col("id"),
+        graft.pipeline.Similarity.srpSketch(col("vec"), 16, 3, seed).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 0L, "empty vector sketches to 0 (oracle: all-NULL sum)")
+    assert(got(2L) === 0L, "all-null vector sketches to 0")
+    // NaN and Inf contribute 0 exactly like a literal 0.0 element
+    assert(got(3L) === got(4L))
+    assert(got(5L) === got(4L))
+  }
+
   test("srpCandidatePairs finds every pair within hamming <= bands-1 (pigeonhole)") {
     val sketches = embeddings
       .select(col("vec_id"), graft.pipeline.Similarity.srpSketch(col("embedding"), 48, dim, seed).as("sk"))

@@ -14,12 +14,19 @@ class WinnowSpec extends SparkSpec {
   private val K = 20
   private val W = 8
 
-  /** Plain-Scala mirror of WinnowExpr's intended semantics. */
+  /** Plain-Scala mirror of WinnowExpr's intended semantics: space-only trim
+    * (Spark/DuckDB trim ' ' only — Java String.trim would also strip
+    * tabs/newlines and shift every position) and code-point units.
+    */
   private def mirror(text: String, k: Int = K, w: Int = W): Seq[(Int, Long)] = {
-    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
-    val n = norm.length - k + 1
+    val spaceTrimmed = text.toLowerCase
+      .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val norm = spaceTrimmed.replaceAll("\\s+", " ")
+    val cps = norm.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return Seq.empty
-    val h = (0 until n).map(i => graft.functions.SrpSketch.md5Top60(norm.substring(i, i + k)))
+    val h = (0 until n).map(i =>
+      graft.functions.SrpSketch.md5Top60(new String(cps, i, k)))
     val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
     if (n < w) {
       sel += h.indexOf(h.min)
@@ -101,6 +108,31 @@ class WinnowSpec extends SparkSpec {
     for ((id, (clean, removed)) <- out if !spanned.contains(id)) {
       assert(removed === 0L && clean === norms(id), s"doc $id should be untouched")
     }
+  }
+
+  test("astral-plane text: positions are code points, so spans cut correctly") {
+    // the emoji is 2 UTF-16 units but ONE position unit everywhere
+    // (WinnowExpr, Spark substring/length, DuckDB substr/len)
+    val x = "the exact same long duplicated sentence appears in both documents"
+    val df = Seq((1L, s"first copy here $x"),
+                 (2L, s"😀😀 emoji prefix then $x tail")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", K, W)
+      .filter(col("doc_id") === 2L).collect().map(r => (r.getInt(1), r.getLong(2)))
+    val texts = Map(2L -> s"😀😀 emoji prefix then $x tail")
+    assert(fps.toSeq.sorted === mirror(texts(2L)), "expression must count code points")
+    val out = Dedup.substringDedup(df, "doc_id", "text", K, W)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val norm2 = Dedup.normalizeWs(lit(texts(2L)))
+    val nm2 = df.sparkSession.range(1).select(norm2).collect()(0).getString(0)
+    // bookkeeping in code points: cleaned length + removed == normalized length
+    assert(out(2L)._1.codePointCount(0, out(2L)._1.length) + out(2L)._2 ===
+      nm2.codePointCount(0, nm2.length))
+    assert(out(2L)._2 > 0, "the duplicated sentence must be flagged in doc 2")
+    // the cut never slices through a surrogate pair: a lone surrogate would
+    // not round-trip through UTF-8
+    val clean2 = out(2L)._1
+    assert(new String(clean2.getBytes("UTF-8"), "UTF-8") === clean2)
+    assert(out(1L)._2 === 0L, "first occurrence wins")
   }
 
   test("docs shorter than k survive untouched; n < w selects one fingerprint") {
