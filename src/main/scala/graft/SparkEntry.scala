@@ -222,6 +222,17 @@ object SparkEntry {
           col("token_id").cast("long").as("token_id"))
     }),
 
+    // ---- Johnson-Lindenstrauss random projection: exact integer sums
+    // against md5-derived +/-1 planes (family "rp"), exploded per
+    // component so the DuckDB compare is integer-exact
+    "q_rp_project" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.select(col("vec_id"),
+          posexplode(graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7))
+            .as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y").cast("long").as("y"))
+    }),
+
     // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
     // et al. substring-dedup regime): positions on the normalized text
     // whose k-gram fingerprint repeats corpus-wide, merged into maximal
@@ -957,6 +968,27 @@ object SparkEntry {
         |  FROM tk2)
         |SELECT CAST(shard AS BIGINT) AS shard, gpos // 128 AS seq, gpos % 128 AS pos, token_id
         |FROM gp""".stripMargin),
+
+    // the projection recomputed from the raw floats: same quantizer as
+    // SRP, planes from the "rp" family, exact integer sums
+    "q_rp_project" ->
+      """WITH dims AS (SELECT UNNEST(range(64)) AS i),
+        |outs AS (SELECT UNNEST(range(16)) AS j),
+        |planes AS (
+        |  SELECT o.j AS j, d.i AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('rp:7:', o.j, ':', d.i)), 1, 15)) AS BIGINT) & 1 = 0
+        |         THEN 1 ELSE -1 END AS p
+        |  FROM outs o, dims d),
+        |q AS (
+        |  SELECT e.vec_id AS vec_id, d.i AS i,
+        |    CASE WHEN e.embedding[d.i + 1] IS NULL THEN NULL
+        |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
+        |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS qv
+        |  FROM embeddings e, dims d)
+        |SELECT q.vec_id, CAST(p.j AS BIGINT) AS j,
+        |  CAST(COALESCE(SUM(q.qv * p.p), 0) AS BIGINT) AS y
+        |FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j""".stripMargin,
 
     // SRP sketch recomputed from the raw floats: quantized projections
     // against md5-derived +/-1 planes are exact integer sums, so the sign

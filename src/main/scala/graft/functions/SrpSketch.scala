@@ -137,19 +137,21 @@ case class SrpSketch(child: Expression, bits: Int, dim: Int, seed: Int)
 object SrpSketch {
 
   /** +1/-1 for hyperplane entry (b, i): lowest bit of the 60-bit md5 hash of
-    * `"srp:<seed>:<b>:<i>"` clear => +1. DuckDB mirror:
+    * `"<family>:<seed>:<b>:<i>"` clear => +1. DuckDB mirror:
     * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) & 1 = 0`.
+    * Distinct family prefixes keep the SRP bits and the JL projection
+    * ([[RpProject]]) decorrelated at equal seeds.
     */
-  def planeSign(seed: Int, b: Int, i: Int): Int =
-    if ((md5Top60(s"srp:$seed:$b:$i") & 1L) == 0L) 1 else -1
+  def planeSign(seed: Int, b: Int, i: Int, family: String = "srp"): Int =
+    if ((md5Top60(s"$family:$seed:$b:$i") & 1L) == 0L) 1 else -1
 
   /** Flattened bits x dim Rademacher plane matrix (row-major by bit). */
-  def signs(bits: Int, dim: Int, seed: Int): Array[Byte] = {
+  def signs(bits: Int, dim: Int, seed: Int, family: String = "srp"): Array[Byte] = {
     val out = new Array[Byte](bits * dim)
     var b = 0
     while (b < bits) {
       var i = 0
-      while (i < dim) { out(b * dim + i) = planeSign(seed, b, i).toByte; i += 1 }
+      while (i < dim) { out(b * dim + i) = planeSign(seed, b, i, family).toByte; i += 1 }
       b += 1
     }
     out

@@ -410,6 +410,23 @@ object Similarity {
     * bucketed explosion and mega-bucket hub-star cap as
     * [[graft.pipeline.Dedup.lshCandidatePairs]].
     */
+  /** Rademacher random projection of the embedding to `outDim` dimensions
+    * (the native [[graft.functions.RpProject]] expression): values are
+    * exact integers (stored as doubles), cosine-preserving with error
+    * ~1/sqrt(outDim) — project once, then run [[bruteForceKnn]] /
+    * [[trainCentroidsFromSample]] / probing on outDim-wide vectors at
+    * outDim/dim of the scoring cost. Size outDim so the cosine MARGIN of
+    * the workload beats the noise: clustered corpora (within-cluster
+    * cosine >> background) keep exact top-k at outDim 16; weak-margin
+    * neighborhoods (gaps ~0.3) need outDim in the hundreds, i.e. the
+    * operator pays off when dim is 1024+ (RpProjectSpec measures both
+    * regimes). Decorrelated from [[srpSketch]]'s planes at equal seeds.
+    */
+  def rpProject(vec: Column, outDim: Int = 16, dim: Int = 64, seed: Int = 7): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.functions.RpProject(bridge.expression(vec), outDim, dim, seed))
+  }
+
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         bits: Int = 48, bands: Int = 4, dim: Int = 64, seed: Int = 7,
                         maxBucketSize: Int = 4096): DataFrame =

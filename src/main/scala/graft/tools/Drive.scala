@@ -517,6 +517,15 @@ object Drive {
         Seq((1L, Seq(1.0f)), (2L, Seq(0.9f)), (3L, Seq(-1.0f))).toDF("id", "v"),
         "id", "v", bits = 8, bands = 4, dim = 1).collect().mkString(" ") +
         " (expect (1,2) sharing all bands; 3 opposite)")
+      // JL random projection feeding the existing kNN path (16-dim space)
+      val projEmb = emb.select(col("vec_id"),
+        graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
+      val projKnn = graft.pipeline.Similarity.bruteForceKnn(
+        projEmb, projEmb.filter(col("vec_id") < 2), "vec_id", "embedding", 3)
+      println(s"RP_KNN rows=${projKnn.count()} (expect 6 = 2 queries x top-3)")
+      println("RP_EMPTYVEC=" + Seq((1L, Seq.empty[Float])).toDF("id", "v")
+        .select(graft.pipeline.Similarity.rpProject(col("v"), 4, 2, 7))
+        .collect()(0).getSeq[Double](0).mkString(",") + " (expect 0.0 x4)")
       // winnowed substring dedup end-to-end on the documents corpus
       val wdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       val wout = graft.pipeline.Dedup.substringDedup(wdocs, "doc_id", "text")
