@@ -96,6 +96,16 @@ class PackSequencesSpec extends SparkSpec {
     assert(Pack.packSequences(df.limit(0), "doc_id", "ids", L, 5).count() === 0)
   }
 
+  test("plan shape: one range shuffle on shard, no window, no per-token explode") {
+    val df = Seq((0L, Seq(1, 2, 3))).toDF("doc_id", "ids")
+    val plan = Pack.packSequences(df, "doc_id", "ids", L, nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range shuffle in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"), // Explode plans as Generate
+      s"unexpected per-token explode in:\n$plan")
+  }
+
   test("BPE front door: encode + pack conserves the token stream") {
     val res = getClass.getResource("/fixtures/bpe_merges.txt").getPath
     val vocab = getClass.getResource("/fixtures/bpe_vocab.txt").getPath

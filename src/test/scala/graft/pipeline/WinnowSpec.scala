@@ -135,6 +135,21 @@ class WinnowSpec extends SparkSpec {
     assert(out(1L)._2 === 0L, "first occurrence wins")
   }
 
+  test("plan shape: duplicate detection is aggregate+join; only per-DOC windows") {
+    val docs = Seq((1L, "some text for the plan shape probe only")).toDF("doc_id", "text")
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", K, W)
+      .queryExecution.executedPlan.toString
+    // the per-fingerprint stage must be a map-side-combinable aggregate +
+    // a join (AQE can skew-split a join; it cannot split a window over a
+    // hot boilerplate gram). The ONLY windows allowed are the island-merge
+    // ones partitioned by doc_id (bounded by document length).
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), s"expected the fingerprint aggregate in:\n$plan")
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.forall(_.contains("doc_id")),
+      s"non-doc-partitioned window in:\n${windowSpecs.mkString("\n")}")
+  }
+
   test("docs shorter than k survive untouched; n < w selects one fingerprint") {
     val df = Seq((1L, "tiny"), (2L, "exactly twenty-two ch")).toDF("doc_id", "text")
     val fps = Dedup.winnowFingerprints(df, "doc_id", "text", K, W)
