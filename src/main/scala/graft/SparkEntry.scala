@@ -222,6 +222,20 @@ object SparkEntry {
           col("token_id").cast("long").as("token_id"))
     }),
 
+    // ---- CCNet-style LM perplexity quality scoring: bigram LM trained
+    // on the doc_id % 10 == 0 reference slice with this library's own
+    // aggregations, remaining docs scored via the codegen'd lm_score
+    // expression (model as a reference object — one map stage)
+    "q_lm_score" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ref = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val model = graft.pipeline.LangModel.train(ref, "text", vocabSize = 256)
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), graft.pipeline.LangModel.scoreCol(col("text"), model).as("s"))
+        .select(col("doc_id"), col("s.n_tokens").cast("long").as("n_tokens"),
+          round(col("s.ll_per_token"), 6).as("ll_per_token"))
+    }),
+
     // ---- Johnson-Lindenstrauss random projection: exact integer sums
     // against md5-derived +/-1 planes (family "rp"), exploded per
     // component so the DuckDB compare is integer-exact
@@ -968,6 +982,52 @@ object SparkEntry {
         |  FROM tk2)
         |SELECT CAST(shard AS BIGINT) AS shard, gpos // 128 AS seq, gpos % 128 AS pos, token_id
         |FROM gp""".stripMargin),
+
+    // the LM recomputed from scratch: unigram/bigram counts over the
+    // reference slice, top-V vocab (count desc, token asc), add-k
+    // scoring. The unk sentinel contains a space, which no
+    // whitespace-split token can ever equal.
+    "q_lm_score" ->
+      """WITH ref AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT UNNEST(ws) AS w FROM ref),
+        |uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM uni),
+        |voc AS (SELECT w, c FROM uni ORDER BY c DESC, w ASC LIMIT 256),
+        |unk AS (SELECT n - COALESCE((SELECT SUM(c) FROM voc), 0) AS cu FROM tot),
+        |bg0 AS (
+        |  SELECT UNNEST(list_transform(range(len(ws) - 1),
+        |    i -> struct_pack(a := ws[CAST(i AS INT) + 1], b := ws[CAST(i AS INT) + 2]))) AS p
+        |  FROM ref WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT COALESCE(va.w, '< unk >') AS a, COALESCE(vb.w, '< unk >') AS b, COUNT(*) AS c
+        |  FROM bg0 LEFT JOIN voc va ON p.a = va.w LEFT JOIN voc vb ON p.b = vb.w
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |st AS (
+        |  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS i, len(ws) AS n FROM sc),
+        |stm AS (
+        |  SELECT s.doc_id, s.i, s.n, COALESCE(v.w, '< unk >') AS w,
+        |    COALESCE(v.c, (SELECT cu FROM unk)) AS cw
+        |  FROM st s LEFT JOIN voc v ON s.w = v.w),
+        |pairs AS (
+        |  SELECT cur.doc_id, cur.i, cur.n, cur.w, cur.cw, prev.w AS pw, prev.cw AS pcw
+        |  FROM stm cur LEFT JOIN stm prev ON cur.doc_id = prev.doc_id AND cur.i = prev.i + 1),
+        |lp AS (
+        |  SELECT p.doc_id, p.n,
+        |    CASE WHEN p.pw IS NULL
+        |      THEN ln((p.cw + 0.5) / ((SELECT n FROM tot) + 0.5 * ((SELECT COUNT(*) FROM voc) + 1)))
+        |      ELSE ln((COALESCE(bg.c, 0) + 0.5) / (p.pcw + 0.5 * ((SELECT COUNT(*) FROM voc) + 1)))
+        |    END AS l
+        |  FROM pairs p LEFT JOIN bg ON bg.a = p.pw AND bg.b = p.w)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(MAX(l2.n), 0) AS BIGINT) AS n_tokens,
+        |  ROUND(COALESCE(SUM(l2.l) / NULLIF(MAX(l2.n), 0), 0.0), 6) AS ll_per_token
+        |FROM sc s LEFT JOIN lp l2 ON s.doc_id = l2.doc_id
+        |GROUP BY s.doc_id""".stripMargin,
 
     // the projection recomputed from the raw floats: same quantizer as
     // SRP, planes from the "rp" family, exact integer sums

@@ -517,6 +517,20 @@ object Drive {
         Seq((1L, Seq(1.0f)), (2L, Seq(0.9f)), (3L, Seq(-1.0f))).toDF("id", "v"),
         "id", "v", bits = 8, bands = 4, dim = 1).collect().mkString(" ") +
         " (expect (1,2) sharing all bands; 3 opposite)")
+      // LM perplexity quality filter: train on half the docs, score a
+      // natural doc vs injected gibberish
+      val lmDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val lm = graft.pipeline.LangModel.train(
+        lmDocs.where(pmod(col("doc_id"), lit(2)) === 0), "text", vocabSize = 256)
+      val lmScores = lmDocs.where(pmod(col("doc_id"), lit(2)) === 1).limit(50)
+        .select(graft.pipeline.LangModel.scoreCol(col("text"), lm).getField("ll_per_token").as("ll"))
+        .agg(round(avg("ll"), 3)).collect()(0).getDouble(0)
+      val gibberish = Seq("zxq vrb plk wfj qqq mzx").toDF("text")
+        .select(round(graft.pipeline.LangModel.scoreCol(col("text"), lm)
+          .getField("ll_per_token"), 3)).collect()(0).getDouble(0)
+      println(s"LM_SCORE natural_avg=$lmScores gibberish=$gibberish " +
+        s"(expect natural > gibberish)")
+      println("LM_EMPTY=" + lm.score("") + " (expect (0,0.0))")
       // JL random projection feeding the existing kNN path (16-dim space)
       val projEmb = emb.select(col("vec_id"),
         graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
