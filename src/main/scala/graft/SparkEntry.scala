@@ -1005,7 +1005,8 @@ object SparkEntry {
         |  FROM bg0 LEFT JOIN voc va ON p.a = va.w LEFT JOIN voc vb ON p.b = vb.w
         |  GROUP BY 1, 2),
         |sc AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  SELECT doc_id, (text IS NULL) AS tnull,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
         |  FROM documents WHERE doc_id % 10 <> 0),
         |st AS (
         |  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS i, len(ws) AS n FROM sc),
@@ -1024,10 +1025,11 @@ object SparkEntry {
         |    END AS l
         |  FROM pairs p LEFT JOIN bg ON bg.a = p.pw AND bg.b = p.w)
         |SELECT s.doc_id,
-        |  CAST(COALESCE(MAX(l2.n), 0) AS BIGINT) AS n_tokens,
-        |  ROUND(COALESCE(SUM(l2.l) / NULLIF(MAX(l2.n), 0), 0.0), 6) AS ll_per_token
+        |  CASE WHEN s.tnull THEN NULL ELSE CAST(COALESCE(MAX(l2.n), 0) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN s.tnull THEN NULL
+        |       ELSE ROUND(COALESCE(SUM(l2.l) / NULLIF(MAX(l2.n), 0), 0.0), 6) END AS ll_per_token
         |FROM sc s LEFT JOIN lp l2 ON s.doc_id = l2.doc_id
-        |GROUP BY s.doc_id""".stripMargin,
+        |GROUP BY s.doc_id, s.tnull""".stripMargin,
 
     // the projection recomputed from the raw floats: same quantizer as
     // SRP, planes from the "rp" family, exact integer sums

@@ -19,6 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LmScore(child: Expression, model: graft.pipeline.LmModel)
     extends UnaryExpression {
 
+  // instance-method evaluator as the reference object (the BpeCount
+  // design). NOT a companion static: the case class inherits
+  // Expression.eval, so scalac emits no static forwarder for a companion
+  // `eval` and Janino compilation of the generated call would fail,
+  // silently demoting the whole stage to interpreted execution.
+  @transient private lazy val evaluator = new LmEval(model)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -30,11 +37,11 @@ case class LmScore(child: Expression, model: graft.pipeline.LmModel)
     StructField("ll_per_token", DoubleType, nullable = false)))
 
   override def nullSafeEval(s: Any): Any =
-    LmScore.eval(model, s.asInstanceOf[UTF8String])
+    evaluator.eval(s.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("lmModel", model, classOf[graft.pipeline.LmModel].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.LmScore.eval($ref, $c)")
+    val ref = ctx.addReferenceObj("lmEval", evaluator, classOf[LmEval].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.eval($c)")
   }
 
   override def prettyName: String = "lm_score"
@@ -43,9 +50,11 @@ case class LmScore(child: Expression, model: graft.pipeline.LmModel)
     copy(child = newChild)
 }
 
-object LmScore {
-  /** Shared by interpreted eval and codegen (must be public static-like). */
-  def eval(model: graft.pipeline.LmModel, text: UTF8String): GenericInternalRow = {
+/** Serializable scoring wrapper shared by interpreted eval and codegen —
+  * an ordinary instance method, invokable from Janino-generated code.
+  */
+final class LmEval(model: graft.pipeline.LmModel) extends Serializable {
+  def eval(text: UTF8String): GenericInternalRow = {
     val (n, ll) = model.score(text.toLowerCase.trim().toString)
     new GenericInternalRow(Array[Any](n, ll))
   }

@@ -97,7 +97,8 @@ object LangModel {
     * broadcast model small; absent bigrams back off to the k-floor).
     */
   def train(ref: DataFrame, textCol: String, vocabSize: Int = 65536,
-            addK: Double = 0.5, minBigramCount: Long = 1L): LmModel = {
+            addK: Double = 0.5, minBigramCount: Long = 1L,
+            maxModelBigrams: Long = 5000000L): LmModel = {
     val t = ref.select(toksCol(col(textCol)).as("ws"))
     val uni = t.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -117,14 +118,26 @@ object LangModel {
           element_at(col("ws"), (i + 2).cast("int")).as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val unkIdx = voc.length
-    val bg = bg0
+    val bgGrouped = bg0
       .join(vocDf.withColumnRenamed("w", "a").withColumnRenamed("i", "ia"), Seq("a"), "left")
       .join(vocDf.withColumnRenamed("w", "b").withColumnRenamed("i", "ib"), Seq("b"), "left")
       .select(coalesce(col("ia"), lit(unkIdx)).cast("long").as("i1"),
         coalesce(col("ib"), lit(unkIdx)).cast("long").as("i2"))
       .groupBy("i1", "i2").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minBigramCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fail fast BEFORE the collect: at web scale the idx-mapped bigram
+    // table approaches (V+1)^2 entries at the defaults, which would blow
+    // spark.driver.maxResultSize mid-collect with no diagnosable error
+    // (the AutoFeat one-hot cardinality guard pattern)
+    val nBigrams = bgGrouped.count()
+    require(nBigrams <= maxModelBigrams,
+      s"bigram model would hold $nBigrams entries (> maxModelBigrams=$maxModelBigrams); " +
+        s"raise minBigramCount (currently $minBigramCount), lower vocabSize " +
+        s"(currently $vocabSize), or raise maxModelBigrams explicitly")
+    val bg = bgGrouped
       .collect().map(r => ((r.getLong(0) << 32) | (r.getLong(1) & 0xFFFFFFFFL), r.getLong(2)))
+    bgGrouped.unpersist()
     new LmModel(voc.map(_._1), voc.map(_._2), unkCount,
       bg.map(_._1), bg.map(_._2), total, addK)
   }

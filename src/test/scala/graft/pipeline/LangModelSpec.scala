@@ -42,6 +42,34 @@ class LangModelSpec extends SparkSpec {
     assert(m.indexOf("c") === m.vocabSize) // OOV -> unk index
   }
 
+  test("null text null-propagates; bigram-size guard fails fast with guidance") {
+    val ref = Seq("a b a b a").toDF("text")
+    val m = LangModel.train(ref, "text", vocabSize = 10)
+    val r = Seq[Option[String]](None, Some("a b")).toDF("text")
+      .select(LangModel.scoreCol(col("text"), m).as("s")).collect()
+    assert(r(0).isNullAt(0))
+    assert(!r(1).isNullAt(0))
+    val ex = intercept[IllegalArgumentException] {
+      LangModel.train(ref, "text", vocabSize = 10, maxModelBigrams = 1L)
+    }
+    assert(ex.getMessage.contains("minBigramCount"))
+  }
+
+  test("lm_score really compiles under whole-stage codegen (no silent fallback)") {
+    // a companion-`eval` helper used to generate Janino-uncompilable code
+    // that silently demoted the stage to interpreted execution; with
+    // fallback disabled, any codegen failure now throws instead
+    val m = LangModel.train(Seq("a b a b a").toDF("text"), "text", vocabSize = 10)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq("a b", "b a a").toDF("text")
+        .select(LangModel.scoreCol(col("text"), m).getField("n_tokens").as("n"))
+        .collect().map(_.getInt(0)).sorted
+      assert(out.toSeq === Seq(2, 3))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("expression matches driver-side score on the documents fixture") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val model = LangModel.train(d.filter(pmod(col("doc_id"), lit(10)) === 0), "text",
