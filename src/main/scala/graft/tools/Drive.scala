@@ -517,6 +517,19 @@ object Drive {
         Seq((1L, Seq(1.0f)), (2L, Seq(0.9f)), (3L, Seq(-1.0f))).toDF("id", "v"),
         "id", "v", bits = 8, bands = 4, dim = 1).collect().mkString(" ") +
         " (expect (1,2) sharing all bands; 3 opposite)")
+      // distributed PCA over embeddings: variance captured by 8 of 64 dims
+      val pcaEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val pca = graft.pipeline.Pca.train(pcaEmb, "embedding", k = 8, dim = 64)
+      val totVar = {
+        val full = graft.pipeline.Pca.train(pcaEmb, "embedding", k = 64, dim = 64)
+        full.eigenvalues.sum
+      }
+      println(f"PCA top8_var=${pca.eigenvalues.sum / totVar}%.3f of total " +
+        f"lambda1=${pca.eigenvalues(0)}%.5f (expect fraction in (0,1], descending)")
+      println("PCA_PROJ_DIM=" + pcaEmb.select(
+        graft.pipeline.Pca.project(col("embedding"), pca).as("y"))
+        .selectExpr("size(y)").distinct().collect().map(_.getInt(0)).mkString(",") +
+        " (expect 8)")
       // LM perplexity quality filter: train on half the docs, score a
       // natural doc vs injected gibberish
       val lmDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
