@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the serving half of [[graft.pipeline.Pca]] (and any fixed linear map
   * over an embedding column). Same design as [[IvfProbe]]/[[RpProject]]:
   * mean and row-major k*dim matrix ride as reference objects, the k*dim
-  * multiply-adds run inside whole-stage codegen. Null/missing elements
-  * read as 0 BEFORE centering; vectors longer than dim truncate.
+  * multiply-adds run inside whole-stage codegen. Null, missing, and
+  * non-finite elements read as 0 BEFORE centering (matching Pca.train's
+  * sanitization — one NaN element must not NaN the whole projection);
+  * vectors longer than dim truncate.
   */
 case class MatProject(child: Expression, mean: Array[Double], matFlat: Array[Double],
                       k: Int, dim: Int) extends UnaryExpression {
@@ -39,10 +41,10 @@ case class MatProject(child: Expression, mean: Array[Double], matFlat: Array[Dou
     val m = math.min(a.numElements(), dim)
     var i = 0
     while (i < dim) {
-      val vi = if (i < m && !a.isNullAt(i)) {
+      val raw = if (i < m && !a.isNullAt(i)) {
         if (isD) a.getDouble(i) else a.getFloat(i).toDouble
       } else 0.0
-      c(i) = vi - mean(i)
+      c(i) = (if (java.lang.Double.isFinite(raw)) raw else 0.0) - mean(i)
       i += 1
     }
     val out = new Array[Double](k)
@@ -70,6 +72,7 @@ case class MatProject(child: Expression, mean: Array[Double], matFlat: Array[Dou
          |for (int ${v}_i = 0; ${v}_i < $dim; ${v}_i++) {
          |  double ${v}_x = (${v}_i < ${v}_m && !$a.isNullAt(${v}_i))
          |    ? (double) $a.$get(${v}_i) : 0.0;
+         |  if (!java.lang.Double.isFinite(${v}_x)) ${v}_x = 0.0;
          |  ${v}_c[${v}_i] = ${v}_x - $mref[${v}_i];
          |}
          |double[] ${v}_out = new double[$k];

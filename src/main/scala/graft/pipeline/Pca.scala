@@ -63,7 +63,11 @@ object Pca {
 
   def train(df: DataFrame, vecCol: String, k: Int, dim: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
-    val rows = df.select(col(vecCol).cast("array<double>")).queryExecution.toRdd
+    // backtick-quote: user column names may contain dots/spaces (the
+    // Gram.compute rule); non-finite elements sanitize to 0 like
+    // RpProject/MatProject — one NaN element must not poison the model
+    val rows = df.select(col(s"`${vecCol.replace("`", "``")}`").cast("array<double>"))
+      .queryExecution.toRdd
     val buffers = rows.mapPartitions { it =>
       val acc = new PcaAcc(dim)
       val v = new Array[Double](dim)
@@ -73,7 +77,13 @@ object Pca {
           val m = math.min(a.numElements(), dim)
           java.util.Arrays.fill(v, 0.0)
           var i = 0
-          while (i < m) { if (!a.isNullAt(i)) v(i) = a.getDouble(i); i += 1 }
+          while (i < m) {
+            if (!a.isNullAt(i)) {
+              val x = a.getDouble(i)
+              if (java.lang.Double.isFinite(x)) v(i) = x
+            }
+            i += 1
+          }
           acc.add(v)
         }
       }
@@ -122,7 +132,10 @@ object Pca {
       var s = 0.0
       var i = 0
       while (i < d) { s += m(i)(i) * m(i)(i); i += 1 }
-      math.max(1.0, math.sqrt(s))
+      // floor at the smallest positive double, NOT 1.0: a small-norm
+      // covariance (tiny-magnitude embeddings) would otherwise turn the
+      // relative threshold absolute and exit before any rotation
+      math.max(java.lang.Double.MIN_VALUE, math.sqrt(s))
     }
     var sweep = 0
     var off = offDiag(a)

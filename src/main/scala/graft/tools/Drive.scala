@@ -519,12 +519,11 @@ object Drive {
         " (expect (1,2) sharing all bands; 3 opposite)")
       // distributed PCA over embeddings: variance captured by 8 of 64 dims
       val pcaEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      val pca = graft.pipeline.Pca.train(pcaEmb, "embedding", k = 8, dim = 64)
-      val totVar = {
-        val full = graft.pipeline.Pca.train(pcaEmb, "embedding", k = 64, dim = 64)
-        full.eigenvalues.sum
-      }
-      println(f"PCA top8_var=${pca.eigenvalues.sum / totVar}%.3f of total " +
+      // ONE k=64 train yields the full spectrum; the top-8 model is its prefix
+      val full = graft.pipeline.Pca.train(pcaEmb, "embedding", k = 64, dim = 64)
+      val pca = graft.pipeline.PcaModel(full.mean,
+        full.components.take(8), full.eigenvalues.take(8))
+      println(f"PCA top8_var=${pca.eigenvalues.sum / full.eigenvalues.sum}%.3f of total " +
         f"lambda1=${pca.eigenvalues(0)}%.5f (expect fraction in (0,1], descending)")
       println("PCA_PROJ_DIM=" + pcaEmb.select(
         graft.pipeline.Pca.project(col("embedding"), pca).as("y"))

@@ -75,6 +75,20 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("one NaN element cannot poison the model; weird column names work") {
+    val clean = (0 until 200).map(i => Seq(i.toDouble, 2.0 * i))
+    val dirty = clean.updated(7, Seq(Double.NaN, 14.0)) :+ Seq(Double.PositiveInfinity, 0.0)
+    val m = Pca.train(dirty.toDF("emb.v"), "emb.v", k = 2, dim = 2)
+    assert(m.eigenvalues.forall(v => java.lang.Double.isFinite(v)))
+    assert(m.components.flatten.forall(v => java.lang.Double.isFinite(v)))
+    // direction (1, 2)/sqrt(5) still dominates despite the corrupt rows
+    assert(math.abs(m.components(0)(1) / m.components(0)(0) - 2.0) < 0.1)
+    // serving side sanitizes the same way
+    val y = Seq(Seq(Double.NaN, 1.0)).toDF("v")
+      .select(Pca.project(col("v"), m).as("y")).collect()(0).getSeq[Double](0)
+    assert(y.forall(v => java.lang.Double.isFinite(v)))
+  }
+
   test("training is deterministic for a given partitioning and stable across ones") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val m1 = Pca.train(e.repartition(3, col("vec_id")), "embedding", k = 3, dim = 64)
