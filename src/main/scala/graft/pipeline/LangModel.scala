@@ -54,6 +54,9 @@ final class LmModel(val vocab: Array[String], val uniCounts: Array[Long],
     m
   }
 
+  /** (packed (i1<<32|i2) key, count) pairs — the persistence view. */
+  def bigramPairs: Array[(Long, Long)] = bigramKeys.zip(bigramCounts)
+
   /** Vocab index, unk = vocabSize. */
   def indexOf(token: String): Int = {
     val v = idx.get(token)
@@ -153,4 +156,35 @@ object LangModel {
   /** exp(-ll_per_token) convenience. */
   def perplexity(scoreStruct: Column): Column =
     exp(-scoreStruct.getField("ll_per_token"))
+
+  /** Persist the model as TWO parquet tables under `path` (`meta` carries
+    * vocab rows + totals, `bigrams` the packed keys) — parquet, not JSON:
+    * a web-scale model holds millions of bigram rows, and parquet
+    * round-trips longs/doubles exactly. Load with [[load]] in a fresh
+    * session and serve without refitting.
+    */
+  def save(model: LmModel, path: String): Unit = {
+    require(model.vocabSize > 0, "refusing to persist an empty-vocab model")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val meta = model.vocab.indices.map(i =>
+      (i, model.vocab(i), model.uniCounts(i), model.unkCount, model.total, model.k))
+    meta.toDF("i", "w", "c", "unk", "total", "k")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    model.bigramPairs.toSeq.toDF("key", "c")
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+  }
+
+  def load(path: String): LmModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = spark.read.parquet(s"$path/meta")
+      .orderBy("i").collect()
+    require(meta.nonEmpty, s"empty LM meta at $path/meta")
+    val vocab = meta.map(_.getString(1))
+    val uni = meta.map(_.getLong(2))
+    val bg = spark.read.parquet(s"$path/bigrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    new LmModel(vocab, uni, meta(0).getLong(3), bg.map(_._1), bg.map(_._2),
+      meta(0).getLong(4), meta(0).getDouble(5))
+  }
 }

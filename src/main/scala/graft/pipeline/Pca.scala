@@ -200,4 +200,26 @@ object Pca {
     bridge.column(graft.functions.MatProject(bridge.expression(vec),
       model.mean, model.components.flatten, model.k, model.dim))
   }
+
+  /** Persist as one parquet table (row j = component j with its
+    * eigenvalue; the mean rides on every row) — exact double round-trip,
+    * loadable in a fresh session without refitting.
+    */
+  def save(model: PcaModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.components.indices.map(j =>
+        (j, model.components(j).toSeq, model.eigenvalues(j), model.mean.toSeq))
+      .toDF("j", "component", "eigenvalue", "mean")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(path: String): PcaModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = spark.read.parquet(path).orderBy("j").collect()
+    require(rows.nonEmpty, s"empty PCA model at $path")
+    PcaModel(rows(0).getSeq[Double](3).toArray,
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getDouble(2)))
+  }
 }

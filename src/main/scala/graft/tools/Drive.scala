@@ -543,6 +543,13 @@ object Drive {
       println(s"LM_SCORE natural_avg=$lmScores gibberish=$gibberish " +
         s"(expect natural > gibberish)")
       println("LM_EMPTY=" + lm.score("") + " (expect (0,0.0))")
+      // model persistence: parquet round-trip serves identically
+      val lmPath = java.nio.file.Files.createTempDirectory("drive_lm").toString
+      graft.pipeline.LangModel.save(lm, lmPath)
+      val lmBack = graft.pipeline.LangModel.load(lmPath)
+      val probeTxt = lmDocs.limit(1).collect()(0).getString(1).toLowerCase.trim
+      println("LM_ROUNDTRIP_EQ=" + (lmBack.score(probeTxt) == lm.score(probeTxt)) +
+        " (expect true)")
       // JL random projection feeding the existing kNN path (16-dim space)
       val projEmb = emb.select(col("vec_id"),
         graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))

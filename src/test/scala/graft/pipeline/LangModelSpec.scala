@@ -55,6 +55,20 @@ class LangModelSpec extends SparkSpec {
     assert(ex.getMessage.contains("minBigramCount"))
   }
 
+  test("parquet save/load round-trips the model: bit-identical scores") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = LangModel.train(d.filter(col("doc_id") < 60), "text", vocabSize = 64)
+    val path = java.nio.file.Files.createTempDirectory("lm_model").toString
+    LangModel.save(m, path)
+    val m2 = LangModel.load(path)
+    assert(m2.vocab.toSeq === m.vocab.toSeq && m2.total === m.total &&
+      m2.unkCount === m.unkCount && m2.k === m.k)
+    d.filter(col("doc_id").between(60, 90)).collect().foreach { r =>
+      val t = r.getString(1).toLowerCase.trim
+      assert(m2.score(t) === m.score(t)) // exact, doubles included
+    }
+  }
+
   test("lm_score really compiles under whole-stage codegen (no silent fallback)") {
     // a companion-`eval` helper used to generate Janino-uncompilable code
     // that silently demoted the stage to interpreted execution; with

@@ -89,6 +89,21 @@ class PcaSpec extends SparkSpec {
     assert(y.forall(v => java.lang.Double.isFinite(v)))
   }
 
+  test("parquet save/load round-trips the model bit-exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val m = Pca.train(e, "embedding", k = 5, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pca_model").toString
+    Pca.save(m, path)
+    val m2 = Pca.load(path)
+    assert(m2.mean.toSeq === m.mean.toSeq)
+    assert(m2.eigenvalues.toSeq === m.eigenvalues.toSeq)
+    assert(m2.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq)
+    // and the loaded model serves identically
+    val y1 = e.limit(5).select(Pca.project(col("embedding"), m)).collect().map(_.getSeq[Double](0))
+    val y2 = e.limit(5).select(Pca.project(col("embedding"), m2)).collect().map(_.getSeq[Double](0))
+    assert(y1.map(_.toSeq).toSeq === y2.map(_.toSeq).toSeq)
+  }
+
   test("training is deterministic for a given partitioning and stable across ones") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val m1 = Pca.train(e.repartition(3, col("vec_id")), "embedding", k = 3, dim = 64)
