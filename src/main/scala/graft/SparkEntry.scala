@@ -247,6 +247,19 @@ object SparkEntry {
         .select(col("vec_id"), col("j").cast("long").as("j"), col("y").cast("long").as("y"))
     }),
 
+    // ---- ANN in RP-projected space: kNN over 16-dim exact-integer
+    // projections — at fixture magnitudes every dot product is an exact
+    // integer in doubles, so ranking is engine-independent
+    "q_rp_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val proj = e.select(col("vec_id"),
+        graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
+      graft.pipeline.Similarity
+        .bruteForceKnn(proj, proj.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 5).as("rcos"), col("rank").cast("long").as("rank"))
+    }),
+
     // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
     // et al. substring-dedup regime): positions on the normalized text
     // whose k-gram fingerprint repeats corpus-wide, merged into maximal
@@ -1030,6 +1043,39 @@ object SparkEntry {
         |       ELSE ROUND(COALESCE(SUM(l2.l) / NULLIF(MAX(l2.n), 0), 0.0), 6) END AS ll_per_token
         |FROM sc s LEFT JOIN lp l2 ON s.doc_id = l2.doc_id
         |GROUP BY s.doc_id, s.tnull""".stripMargin,
+
+    // projected-space kNN recomputed end to end: rp projection CTEs, then
+    // cosine ranking over the 16-dim integer vectors
+    "q_rp_knn" ->
+      """WITH dims AS (SELECT UNNEST(range(64)) AS i),
+        |outs AS (SELECT UNNEST(range(16)) AS j),
+        |planes AS (
+        |  SELECT o.j AS j, d.i AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('rp:7:', o.j, ':', d.i)), 1, 15)) AS BIGINT) & 1 = 0
+        |         THEN 1 ELSE -1 END AS p
+        |  FROM outs o, dims d),
+        |q AS (
+        |  SELECT e.vec_id AS vec_id, d.i AS i,
+        |    CASE WHEN e.embedding[d.i + 1] IS NULL THEN NULL
+        |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
+        |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS qv
+        |  FROM embeddings e, dims d),
+        |yv AS (
+        |  SELECT q.vec_id, p.j AS j, CAST(COALESCE(SUM(q.qv * p.p), 0) AS DOUBLE) AS y
+        |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j),
+        |vv AS (SELECT vec_id, list(y ORDER BY j) AS v FROM yv GROUP BY vec_id),
+        |scored AS (
+        |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(qq.v, c.v) /
+        |      GREATEST(sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(c.v, c.v)), 1e-12) AS cos
+        |  FROM vv qq JOIN vv c ON qq.vec_id < 8 AND qq.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 5) AS rcos, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // the projection recomputed from the raw floats: same quantizer as
     // SRP, planes from the "rp" family, exact integer sums
