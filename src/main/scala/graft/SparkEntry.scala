@@ -260,6 +260,22 @@ object SparkEntry {
           round(col("cosine"), 5).as("rcos"), col("rank").cast("long").as("rank"))
     }),
 
+    // ---- the composed projected-space scale path: rpProject -> IVF
+    // near-dup over the 16-dim integer vectors. nProbe = nCentroids makes
+    // recall 1 BY CONSTRUCTION (every vector probes every cluster), so
+    // the brute-force oracle is exact regardless of centroid training —
+    // the composition, clustering plumbing, and scoring are what's gated
+    "q_rp_ivf_neardup" -> ((s, dir) => {
+      import graft.pipeline.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val proj = e.select(col("vec_id"),
+        Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
+      val cents = Similarity.trainCentroidsFromSample(
+        Similarity.sampleByKey(proj, "vec_id", "embedding", 256), 4)
+      Similarity.ivfNearDupPairs(proj, "vec_id", "embedding", cents,
+        threshold = 0.6, nProbe = 4)
+    }),
+
     // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
     // et al. substring-dedup regime): positions on the normalized text
     // whose k-gram fingerprint repeats corpus-wide, merged into maximal
@@ -1076,6 +1092,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, ROUND(cos, 5) AS rcos, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // brute-force near-dup over the projected integer vectors — exact
+    // because q_rp_ivf_neardup probes every cluster (recall 1)
+    "q_rp_ivf_neardup" ->
+      """WITH dims AS (SELECT UNNEST(range(64)) AS i),
+        |outs AS (SELECT UNNEST(range(16)) AS j),
+        |planes AS (
+        |  SELECT o.j AS j, d.i AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('rp:7:', o.j, ':', d.i)), 1, 15)) AS BIGINT) & 1 = 0
+        |         THEN 1 ELSE -1 END AS p
+        |  FROM outs o, dims d),
+        |q AS (
+        |  SELECT e.vec_id AS vec_id, d.i AS i,
+        |    CASE WHEN e.embedding[d.i + 1] IS NULL THEN NULL
+        |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
+        |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS qv
+        |  FROM embeddings e, dims d),
+        |yv AS (
+        |  SELECT q.vec_id, p.j AS j, CAST(COALESCE(SUM(q.qv * p.p), 0) AS DOUBLE) AS y
+        |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j),
+        |vv AS (SELECT vec_id, list(y ORDER BY j) AS v FROM yv GROUP BY vec_id)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) AS rcos
+        |FROM vv a, vv b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_dot_product(a.v, b.v) /
+        |    GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12), 5) >= 0.6""".stripMargin,
 
     // the projection recomputed from the raw floats: same quantizer as
     // SRP, planes from the "rp" family, exact integer sums

@@ -65,8 +65,10 @@ object Similarity {
     * across cluster sizes.
     */
   def sampleByKey(df: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] =
-    df.orderBy(col(idCol)).limit(n).select(col(vecCol))
-      .collect().map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+    // cast in the plan: accepts float AND double element arrays (projected
+    // vectors are array<double>); float->double widening is exact
+    df.orderBy(col(idCol)).limit(n).select(col(vecCol).cast("array<double>"))
+      .collect().map(r => l2norm(r.getSeq[Double](0).toArray))
 
   /** Spherical k-means (cosine geometry: vectors and centroids live on the
     * unit sphere, matching the cosine ranking of the search phase).
@@ -78,9 +80,10 @@ object Similarity {
     // top-k over every row — the wrong plan at 100 TB).
     val n = math.max(corpus.count(), 1L)
     val frac = math.min(1.0, (sampleSize * 1.2 + 100.0) / n)
-    val sample = corpus.select(col(vecCol)).sample(withReplacement = false, frac, seed)
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .sample(withReplacement = false, frac, seed)
       .limit(sampleSize)
-      .collect().map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .collect().map(r => l2norm(r.getSeq[Double](0).toArray))
     trainCentroidsFromSample(sample, nCentroids, iters)
   }
 
