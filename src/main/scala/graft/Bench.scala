@@ -112,21 +112,31 @@ object Bench {
     // flagship transcript pipeline: warm once (parquet page cache, codegen),
     // then measure 5 runs with probes interleaved
     val turns = benchTranscripts(spark, sfDir)
-    transcriptPipeline(spark, turns) // warm-up
+    val (nRows, nCols) = transcriptPipeline(spark, turns) // warm-up
     probe() // probe warm-up
-    val probes = scala.collection.mutable.ArrayBuffer[Double]()
-    val runs = (1 to 5).map { _ =>
-      probes += probe()
-      timed(transcriptPipeline(spark, turns))
+    def measureWindow(): (Seq[Double], Seq[Double]) = {
+      val ps = scala.collection.mutable.ArrayBuffer[Double]()
+      val rs = (1 to 5).map { _ =>
+        ps += probe()
+        timed(transcriptPipeline(spark, turns))._2
+      }
+      ps += probe()
+      (rs, ps.toSeq)
     }
-    probes += probe()
-    val runSecs = runs.map(_._2)
+    def ratioOf(w: (Seq[Double], Seq[Double])): Double = w._2.max / w._2.min
+    // Archive capability, not weather: the probe spread is the load
+    // sentinel — when a window's probe_load_ratio exceeds 2.5 (ambient
+    // co-tenant load), re-run the flagship block in a fresh window (up to
+    // 3 windows total) and take the QUIETEST window as the headline. Every
+    // window's raw runs/probes are emitted so a contaminated session stays
+    // self-evident instead of being recorded as the engine's speed.
+    val windows = scala.collection.mutable.ArrayBuffer[(Seq[Double], Seq[Double])]()
+    windows += measureWindow()
+    while (windows.size < 3 && ratioOf(windows.last) > 2.5) windows += measureWindow()
+    val (runSecs, probes) = windows.minBy(ratioOf)
     val sortedSecs = runSecs.sorted
-    val (nRows, nCols) = runs.head._1
-    // Headline = best-of-5: the closest observable to unloaded capability
-    // on a shared host (a loaded run only ever ADDS time). The median and
-    // all per-run times are emitted alongside so a contaminated session is
-    // self-evident rather than silently recorded as the engine's speed.
+    // Headline = best-of-5 in the quietest window: the closest observable
+    // to unloaded capability on a shared host (a loaded run only ADDS time).
     val pipeSec = sortedSecs.head
     val pipeSecMedian = sortedSecs(sortedSecs.size / 2)
     val loadRatio = probes.max / probes.min
@@ -163,8 +173,11 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum + pipeSec
     val runsJson = runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val probesJson = probes.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val windowsJson = windows.map { case (rs, ps) =>
+      f"""{"runs":${rs.map(s => f"$s%.3f").mkString("[", ",", "]")},"probes":${ps.map(s => f"$s%.3f").mkString("[", ",", "]")},"load_ratio":${ratioOf((rs, ps))}%.2f}"""
+    }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"pipeline_sec_median":$pipeSecMedian%.3f,"pipeline_runs":$runsJson,"probe_runs":$probesJson,"probe_load_ratio":$loadRatio%.2f,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"pipeline_sec_median":$pipeSecMedian%.3f,"pipeline_runs":$runsJson,"probe_runs":$probesJson,"probe_load_ratio":$loadRatio%.2f,"windows":$windowsJson,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

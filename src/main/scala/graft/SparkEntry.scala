@@ -139,11 +139,38 @@ object SparkEntry {
           encode(col("text"), "UTF-8").as("media"),
           struct(lit("text/plain").as("mime"), lit(0).as("width"),
             lit(0).as("height"), lit(0L).as("duration_ms")).as("meta"))
-      val dec = Multimodal.decodeToEmbedding(Multimodal.extract(d), dim = 8)
+      // codec pinned to the deterministic stub: this query gates the batched
+      // mapPartitions plumbing over arbitrary text bytes, and the stub's
+      // fixed output shapes keep the oracle payload-independent (a text
+      // that happened to start with a real format magic would otherwise
+      // route through AutoCodec to a real decoder and change the sizes)
+      val dec = Multimodal.decodeToEmbedding(
+        Multimodal.extract(d, codec = Multimodal.StubCodec),
+        dim = 8, codec = Multimodal.StubCodec)
       dec.select(col("media_id"),
         size(col("embedding")).as("emb_dim"),
         size(col("frames")).as("n_frames"),
         length(col("thumbnail")).as("thumb_len"))
+    }),
+
+    // ---- REAL image decode through the AutoCodec magic-byte dispatch: a
+    // binary PGM is CONSTRUCTED deterministically from each document's md5
+    // bytes (header + 16 raw pixels), routed to PnmCodec by its magic, and
+    // the decoded luminance histogram is gated bin-by-bin against an oracle
+    // that recomputes it from the same md5 hex. NULL text -> NULL media ->
+    // the codec contract's zero vector (mirrored by the oracle's CASE).
+    "q_image_decode" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val header = lit("P5\n16 1\n255\n".getBytes("US-ASCII"))
+      val media = d.select(col("doc_id").as("media_id"),
+        concat(header, unhex(md5(encode(col("text"), "UTF-8")))).as("media"),
+        struct(lit("image/x-portable-graymap").as("mime"), lit(16).as("width"),
+          lit(1).as("height"), lit(0L).as("duration_ms")).as("meta"))
+      Multimodal.decodeToEmbedding(media, dim = 8)
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("bin", "frac")))
+        .select(col("media_id"), col("bin").cast("long").as("bin"),
+          round(col("frac").cast("double"), 6).as("frac"))
     }),
 
     "q_text_stats" -> ((s, dir) => {
@@ -248,14 +275,17 @@ object SparkEntry {
     }),
 
     // ---- ANN in RP-projected space: kNN over 16-dim exact-integer
-    // projections — at fixture magnitudes every dot product is an exact
-    // integer in doubles, so ranking is engine-independent
+    // projections. Ranks on the ROUNDED cosine (q_knn's defense): projected
+    // dot products are integer-valued but their worst-case magnitude can
+    // exceed 2^53, where ulp-level accumulation-order differences between
+    // engines could flip neighbor ranks on the raw double.
     "q_rp_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val proj = e.select(col("vec_id"),
         graft.pipeline.Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
       graft.pipeline.Similarity
-        .bruteForceKnn(proj, proj.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .bruteForceKnn(proj, proj.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+          rankRoundTo = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 5).as("rcos"), col("rank").cast("long").as("rank"))
     }),
@@ -265,15 +295,21 @@ object SparkEntry {
     // recall 1 BY CONSTRUCTION (every vector probes every cluster), so
     // the brute-force oracle is exact regardless of centroid training —
     // the composition, clustering plumbing, and scoring are what's gated
+    // Cap-FREE (the q_lsh_pairs rule): nProbe = nCentroids puts every
+    // vector in every cluster, so the default hub-star cap would silently
+    // truncate pairs the all-pairs oracle expects at any SF with > cap
+    // vectors. Fixture bounded to vec_id < 1024 so the deliberate 4×
+    // all-pairs recall-1 config stays cheap at larger SFs (SimilaritySpec
+    // proves cap-free ≡ brute force on a > 4096-vector generated frame).
     "q_rp_ivf_neardup" -> ((s, dir) => {
       import graft.pipeline.Similarity
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1024)
       val proj = e.select(col("vec_id"),
         Similarity.rpProject(col("embedding"), 16, 64, 7).as("embedding"))
       val cents = Similarity.trainCentroidsFromSample(
         Similarity.sampleByKey(proj, "vec_id", "embedding", 256), 4)
       Similarity.ivfNearDupPairs(proj, "vec_id", "embedding", cents,
-        threshold = 0.6, nProbe = 4)
+        threshold = 0.6, nProbe = 4, maxClusterSize = Int.MaxValue)
     }),
 
     // ---- winnowed duplicated-substring spans (MOSS fingerprints, Lee
@@ -398,9 +434,11 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val sample = graft.pipeline.Similarity.sampleByKey(e, "vec_id", "embedding", 256)
       val cents = graft.pipeline.Similarity.trainCentroidsFromSample(sample, 16)
+      // cap-free: the oracle is brute-force all-pairs, so a > cap cluster
+      // at a larger SF must not truncate (the q_lsh_pairs rule)
       graft.pipeline.Similarity.ivfNearDupPairs(
         e.select("vec_id", "embedding"), "vec_id", "embedding",
-        cents, threshold = 0.45, nProbe = 4)
+        cents, threshold = 0.45, nProbe = 4, maxClusterSize = Int.MaxValue)
     }),
 
     // ---- two-level-quantizer near-dup (the sharded path for corpora past
@@ -412,9 +450,11 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val sample = Similarity.sampleByKey(e, "vec_id", "embedding", 256)
       val tlc = Similarity.trainTwoLevel(sample, 4, 4)
+      // cap-free for the same reason as q_ivf_neardup
       Similarity.ivfNearDupPairsTwoLevel(
         e.select("vec_id", "embedding"), "vec_id", "embedding",
-        tlc, threshold = 0.45, nProbeCoarse = 3, nProbe = 8)
+        tlc, threshold = 0.45, nProbeCoarse = 3, nProbe = 8,
+        maxClusterSize = Int.MaxValue)
     }),
 
     // ---- brute-force cosine top-5 for the first 5 vectors. Ranks directly
@@ -706,6 +746,25 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 8 AS emb_dim, 4 AS n_frames, 64 AS thumb_len
         |FROM documents""".stripMargin,
+
+    // the decoded luminance histogram recomputed from the same md5 bytes
+    // the Spark side packed into the constructed PGM (bin = pixel >> 5,
+    // frac = count/16); NULL text mirrors the codec's zero vector
+    "q_image_decode" ->
+      """WITH b AS (SELECT UNNEST(range(8)) AS bin),
+        |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, CAST(concat('0x', substr(d.h, 2 * i.i + 1, 2)) AS INT) AS v
+        |  FROM d, (SELECT UNNEST(range(16)) AS i) i
+        |  WHERE d.h IS NOT NULL),
+        |cnt AS (
+        |  SELECT doc_id, CAST(floor(v / 32) AS INT) AS bin, COUNT(*) AS c
+        |  FROM px GROUP BY doc_id, bin)
+        |SELECT d.doc_id AS media_id, CAST(b.bin AS BIGINT) AS bin,
+        |  ROUND(CASE WHEN d.h IS NULL THEN 0.0
+        |        ELSE COALESCE(c.c, 0) / 16.0 END, 6) AS frac
+        |FROM d CROSS JOIN b
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.bin""".stripMargin,
 
     "q_text_stats" ->
       ("""SELECT doc_id,
@@ -1076,7 +1135,8 @@ object SparkEntry {
         |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
         |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
         |         ELSE 0 END AS qv
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL),
         |yv AS (
         |  SELECT q.vec_id, p.j AS j, CAST(COALESCE(SUM(q.qv * p.p), 0) AS DOUBLE) AS y
         |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j),
@@ -1088,7 +1148,7 @@ object SparkEntry {
         |  FROM vv qq JOIN vv c ON qq.vec_id < 8 AND qq.vec_id <> c.vec_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 5) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, ROUND(cos, 5) AS rcos, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
@@ -1109,7 +1169,8 @@ object SparkEntry {
         |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
         |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
         |         ELSE 0 END AS qv
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.vec_id < 1024 AND e.embedding IS NOT NULL),
         |yv AS (
         |  SELECT q.vec_id, p.j AS j, CAST(COALESCE(SUM(q.qv * p.p), 0) AS DOUBLE) AS y
         |  FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j),
@@ -1138,7 +1199,8 @@ object SparkEntry {
         |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
         |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
         |         ELSE 0 END AS qv
-        |  FROM embeddings e, dims d)
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL)
         |SELECT q.vec_id, CAST(p.j AS BIGINT) AS j,
         |  CAST(COALESCE(SUM(q.qv * p.p), 0) AS BIGINT) AS y
         |FROM q JOIN planes p ON p.i = q.i GROUP BY q.vec_id, p.j""".stripMargin,
@@ -1160,7 +1222,8 @@ object SparkEntry {
         |         WHEN isfinite(CAST(e.embedding[d.i + 1] AS DOUBLE))
         |         THEN CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
         |         ELSE 0 END AS qv
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL),
         |sgn AS (
         |  SELECT q.id, p.b AS b,
         |    CASE WHEN SUM(q.qv * p.p) >= 0 THEN 1 ELSE 0 END AS bit

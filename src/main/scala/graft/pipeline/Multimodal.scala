@@ -194,6 +194,108 @@ object Multimodal {
     }
   }
 
+  /** Real mainstream-image decoder: JPEG / PNG / GIF / BMP via the pure-JDK
+    * `javax.imageio` readers (no external jars). Same output semantics as
+    * [[PnmCodec]] so the two are interchangeable behind [[AutoCodec]]:
+    *
+    * - `decodeFeatures`: normalized `dim`-bin luminance histogram of the
+    *   decoded pixels (luminance = (r+g+b)/3 of the sRGB value).
+    * - `resize`: nearest-neighbor luminance resample, re-encoded as
+    *   grayscale PNG (lossless, so a downstream decode sees these pixels).
+    * - `sampleFrames`: `n` horizontal luminance bands, each a PNG.
+    *
+    * Undecodable / truncated / null bytes -> zeros / empty, per the
+    * MediaCodec contract (ImageIO throws on corrupt streams; every entry
+    * point catches and degrades — one bad blob must not kill the job).
+    */
+  object ImageIoCodec extends MediaCodec {
+    /** Luminance grid (h rows of w ints 0..255), or null. */
+    private def lum(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      if (bytes == null || bytes.isEmpty) return null
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < out.length) {
+          val p = rgb(i)
+          out(i) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          i += 1
+        }
+        (out, w, h)
+      } catch { case _: Throwable => null }
+    }
+
+    private def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      try {
+        // TYPE_INT_RGB with r=g=b, NOT TYPE_BYTE_GRAY: gray rasters carry a
+        // linear-gray color space, so a later getRGB would gamma-lift the
+        // samples — r=g=b sRGB values round-trip decode-exact instead
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = px(y * w + x) & 0xFF
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      } catch { case _: Throwable => Array.empty }
+    }
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val d = lum(bytes)
+      if (d == null) return new Array[Float](dim)
+      val (px, _, _) = d
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < px.length) {
+        hist(math.min(dim - 1, px(i) * dim / 256)) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { hist(j) /= px.length; j += 1 }
+      hist
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val d = lum(bytes)
+      if (d == null) return Array.empty
+      val (px, sw, sh) = d
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(sh - 1, y * sh / h)
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = px(sy * sw + math.min(sw - 1, x * sw / w))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(out, w, h)
+    }
+
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val d = lum(bytes)
+      if (d == null) return Seq.empty
+      val (px, w, h) = d
+      (0 until n).map { i =>
+        val y0 = i * h / n
+        val y1 = math.max(y0 + 1, (i + 1) * h / n)
+        encodePng(px.slice(y0 * w, y1 * w), w, y1 - y0)
+      }
+    }
+  }
+
   /** Real audio decoder: RIFF/WAVE, PCM 16-bit little-endian (format 1).
     * `decodeFeatures` = per-segment RMS energies over `dim` equal time
     * slices of channel-averaged samples (a real, order-sensitive audio
@@ -300,12 +402,40 @@ object Multimodal {
     }
   }
 
+  /** Format-sniffing dispatcher — the default codec: routes each blob by
+    * its magic bytes to the real decoder that understands it (JPEG / PNG /
+    * GIF / BMP via [[ImageIoCodec]], binary PGM/PPM via [[PnmCodec]],
+    * RIFF/WAVE via [[WavCodec]]) and falls back to the deterministic
+    * [[StubCodec]] for unrecognized payloads, so a mixed-format 100 TB
+    * media column decodes per-row without a caller-side format column.
+    */
+  object AutoCodec extends MediaCodec {
+    private def route(b: Array[Byte]): MediaCodec = {
+      if (b == null || b.length < 12) return StubCodec
+      def at(i: Int) = b(i) & 0xFF
+      if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') ImageIoCodec // PNG
+      else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) ImageIoCodec          // JPEG
+      else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') ImageIoCodec // GIF
+      else if (at(0) == 'B' && at(1) == 'M') ImageIoCodec                              // BMP
+      else if (at(0) == 'P' && (at(1) == '5' || at(1) == '6')) PnmCodec                // PGM/PPM
+      else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+               at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') WavCodec
+      else StubCodec
+    }
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+      route(bytes).decodeFeatures(bytes, dim)
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      route(bytes).resize(bytes, w, h)
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      route(bytes).sampleFrames(bytes, n)
+  }
+
   /** media frame -> embedding column via batched per-partition decode.
     * Batches amortize (future) codec-worker startup exactly like
     * mapInPandas' Arrow batches would.
     */
   def decodeToEmbedding(df: DataFrame, dim: Int = 16, batchSize: Int = 256,
-                        codec: MediaCodec = StubCodec): DataFrame = {
+                        codec: MediaCodec = AutoCodec): DataFrame = {
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema.add(StructField("embedding", ArrayType(FloatType)))
     // Dataset.mapPartitions (not df.rdd + createDataFrame): the decode stays
@@ -324,7 +454,7 @@ object Multimodal {
 
   /** Thumbnail + n-frame sample in one batched pass. */
   def extract(df: DataFrame, thumbW: Int = 8, thumbH: Int = 8, nFrames: Int = 4,
-              batchSize: Int = 256, codec: MediaCodec = StubCodec): DataFrame = {
+              batchSize: Int = 256, codec: MediaCodec = AutoCodec): DataFrame = {
     val mediaIdx = df.schema.fieldIndex("media")
     val outSchema = df.schema
       .add(StructField("thumbnail", BinaryType))

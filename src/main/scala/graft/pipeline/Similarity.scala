@@ -35,9 +35,13 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for the query rows (queries are
     * expected to be a small broadcastable set).
     * Output: (query_id, neighbor_id, cosine, rank). Ties break by id.
+    * `rankRoundTo >= 0` ranks on the cosine ROUNDED to that many digits
+    * (ties still break by id) — the engine-independence defense for
+    * oracle-gated queries: ulp-level accumulation differences between two
+    * engines' dot products can flip neighbor order on the raw double.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, k: Int): DataFrame = {
+                    vecCol: String, k: Int, rankRoundTo: Int = -1): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -45,8 +49,9 @@ object Similarity {
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / greatest(col("__qn") * col("__cn"), lit(1e-12)))
+    val rankKey = if (rankRoundTo >= 0) round(col("cosine"), rankRoundTo) else col("cosine")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+      .partitionBy("query_id").orderBy(rankKey.desc, asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }

@@ -587,6 +587,59 @@ object Drive {
         .map(r => s"${r.getLong(0)}:'${r.getString(1)}'(${r.getLong(2)})").mkString(" ") +
         " (expect 1:'tiny'(0) 2:'also tiny'(0))")
     }
+    // round 5: real image codecs (ImageIO) + AutoCodec dispatch + rounded
+    // kNN ranking + cap-free IVF contract
+    {
+      import org.apache.spark.sql.Row
+      import graft.pipeline.{Multimodal, Similarity}
+      // a real PNG encoded in-JVM, a PGM of the same pixels, junk, and null
+      val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8) {
+        val v = x * 255 / 7; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      val png = baos.toByteArray
+      val pgmSame = "P5\n8 4\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(32)(i => ((i % 8) * 255 / 7).toByte)
+      val rows = Seq(Row(0L, png, Row("image/png", 8, 4, 0L)),
+        Row(1L, pgmSame, Row("image/x-portable-graymap", 8, 4, 0L)),
+        Row(2L, "junk bytes".getBytes, Row("text/plain", 0, 0, 0L)),
+        Row(3L, null, Row("application/octet-stream", 0, 0, 0L)))
+      val mdf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+      val dec = Multimodal.decodeToEmbedding(mdf, dim = 4) // AutoCodec default
+        .orderBy("media_id").select("embedding").collect().map(_.getSeq[Float](0))
+      println(s"IMG_PNG=${dec(0).mkString(",")} PGM_EQ=${dec(0) == dec(1)} " +
+        s"JUNK_STUB=${dec(2).exists(_ != 0f)} NULL_ZERO=${dec(3).forall(_ == 0f)}" +
+        " (expect PGM_EQ=true JUNK_STUB=true NULL_ZERO=true)")
+      val th = Multimodal.extract(mdf.limit(1), 4, 2, 2).select("thumbnail")
+        .collect()(0).getAs[Array[Byte]](0)
+      println("IMG_THUMB_PNG=" + (th.length > 8 && (th(1) & 0xFF) == 'P'.toInt) +
+        " JPEG_READER=" + javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").hasNext)
+      // rounded-rank kNN: rank must follow round(cosine,5) with id tiebreak
+      val emb5 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val rk = Similarity.bruteForceKnn(emb5, emb5.filter(col("vec_id") < 2),
+        "vec_id", "embedding", 3, rankRoundTo = 5)
+      val sane = rk.withColumn("rc", round(col("cosine"), 5))
+        .withColumn("prev", lag("rc", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")))
+        .filter(col("prev").isNotNull && col("rc") > col("prev")).count()
+      println(s"RANKROUND_MONOTONE_VIOLATIONS=$sane (expect 0); rows=${rk.count()}")
+      // cap-free IVF: recall-1 config on a corpus ABOVE the default cap
+      // must match within-threshold brute pair count (tiny dims keep it fast)
+      import spark.implicits._
+      val rng5 = new scala.util.Random(5)
+      val ctr = Array.fill(3)(Array.fill(4)(rng5.nextGaussian()))
+      val big = (0 until 4300).map(i => (i.toLong,
+        ctr(i % 3).map(x => (x + rng5.nextGaussian() * 0.01).toFloat).toSeq)).toDF("vec_id", "embedding")
+      val c2 = Similarity.trainCentroidsFromSample(
+        Similarity.sampleByKey(big, "vec_id", "embedding", 32), 2)
+      val free = Similarity.ivfNearDupPairs(big, "vec_id", "embedding", c2,
+        threshold = 0.9999, nProbe = 2, maxClusterSize = Int.MaxValue).count()
+      val capped = Similarity.ivfNearDupPairs(big, "vec_id", "embedding", c2,
+        threshold = 0.9999, nProbe = 2).count()
+      println(s"CAPFREE_PAIRS=$free CAPPED=$capped (expect free >> capped: default cap truncates at 4300 > 4096)")
+    }
     spark.stop()
   }
 }

@@ -95,6 +95,84 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.decodeFeatures("garbage".getBytes, 4).forall(_ == 0f))
   }
 
+  /** Encode known gray (r=g=b sRGB) pixels as real format bytes via ImageIO.
+    * TYPE_INT_RGB, not TYPE_BYTE_GRAY: a gray raster's linear color space
+    * would gamma-lift the values through write/getRGB round trips.
+    */
+  private def encodeImage(px: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer in this JDK")
+    baos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG/GIF/BMP pixels exactly; JPEG approximately") {
+    // gradient: every luminance bin equally occupied (PnmCodec's invariant)
+    val w = 32; val h = 8
+    val px = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val bytes = encodeImage(px, w, h, fmt)
+      val f = Multimodal.ImageIoCodec.decodeFeatures(bytes, 8)
+      assert(f.forall(v => math.abs(v - 0.125) < 1e-6), s"$fmt: ${f.toSeq}")
+    }
+    // JPEG is lossy: a uniform mid-gray image must still decode with all
+    // its mass in the right bin (value 128 -> bin 4 of 8)
+    val grayJpg = encodeImage(Array.fill(w * h)(128), w, h, "jpg")
+    val fj = Multimodal.ImageIoCodec.decodeFeatures(grayJpg, 8)
+    assert(fj(4) > 0.99f, fj.toSeq.toString)
+    // resize emits a decodable grayscale PNG of the target size whose
+    // pixels came from the source (gradient end bins occupied)
+    val thumb = Multimodal.ImageIoCodec.resize(encodeImage(px, w, h, "png"), 8, 4)
+    assert(thumb.length > 8 && (thumb(1) & 0xFF) == 'P'.toInt)
+    val tf = Multimodal.ImageIoCodec.decodeFeatures(thumb, 8)
+    assert(tf(0) > 0f && tf(7) > 0f, tf.toSeq.toString)
+    // frames: n horizontal bands, each itself decodable
+    val frames = Multimodal.ImageIoCodec.sampleFrames(encodeImage(px, w, h, "png"), 4)
+    assert(frames.size == 4 &&
+      frames.forall(fb => Multimodal.ImageIoCodec.decodeFeatures(fb, 4).sum > 0.99f))
+    // corrupt / truncated bytes degrade to zeros / empty — never a throw
+    assert(Multimodal.ImageIoCodec.decodeFeatures("not an image".getBytes, 8).forall(_ == 0f))
+    val truncated = encodeImage(px, w, h, "png").take(20)
+    assert(Multimodal.ImageIoCodec.decodeFeatures(truncated, 8).forall(_ == 0f))
+    assert(Multimodal.ImageIoCodec.resize(truncated, 4, 4).isEmpty)
+  }
+
+  test("AutoCodec routes each blob by magic bytes through the Spark seam") {
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+    val pngBytes = encodeImage(px, w, h, "png")
+    val bmpBytes = encodeImage(px, w, h, "bmp")
+    val pgmBytes = pgm(16, 8)
+    val wavBytes = wav(256)
+    val stubBytes = "plain text payload, no magic".getBytes
+    val rows = Seq(
+      Row(0L, pngBytes, Row("image/png", w, h, 0L)),
+      Row(1L, bmpBytes, Row("image/bmp", w, h, 0L)),
+      Row(2L, pgmBytes, Row("image/x-portable-graymap", 16, 8, 0L)),
+      Row(3L, wavBytes, Row("audio/wav", 0, 0, 32L)),
+      Row(4L, stubBytes, Row("text/plain", 0, 0, 0L)),
+      Row(5L, null, Row("application/octet-stream", 0, 0, 0L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.decodeToEmbedding(df, dim = 8) // AutoCodec default
+      .orderBy("media_id").select("embedding").collect().map(_.getSeq[Float](0))
+    assert(got(0) == Multimodal.ImageIoCodec.decodeFeatures(pngBytes, 8).toSeq)
+    assert(got(1) == Multimodal.ImageIoCodec.decodeFeatures(bmpBytes, 8).toSeq)
+    assert(got(2) == Multimodal.PnmCodec.decodeFeatures(pgmBytes, 8).toSeq)
+    assert(got(3) == Multimodal.WavCodec.decodeFeatures(wavBytes, 8).toSeq)
+    assert(got(4) == Multimodal.StubCodec.decodeFeatures(stubBytes, 8).toSeq)
+    assert(got(5).forall(_ == 0f))
+    // PNG and PGM encodings of the SAME pixels agree feature-for-feature
+    // (the two real decoders are interchangeable behind the dispatch)
+    val pgmSame = "P5\n16 8\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+    assert(Multimodal.AutoCodec.decodeFeatures(pngBytes, 8).toSeq ==
+      Multimodal.AutoCodec.decodeFeatures(pgmSame, 8).toSeq)
+  }
+
   test("decoded embeddings feed the similarity operators") {
     val e = Multimodal.decodeToEmbedding(media, dim = 16)
     val knn = Similarity.bruteForceKnn(e, e.filter(col("media_id") < 2), "media_id", "embedding", 3)

@@ -196,6 +196,45 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count(_._1 >= 100L) == 10, s"small-cluster pairs: ${pairs.count(_._1 >= 100L)}")
   }
 
+  test("cap-free ivf near-dup == brute force past 4096 vectors (recall-1 oracle contract)") {
+    // The driver-gate contract (q_rp_ivf_neardup / q_ivf_neardup): when a
+    // full-enumeration oracle gates the query, the hub-star cap must be
+    // DISABLED — with nProbe = nCentroids every vector lands in every
+    // cluster, so any corpus past maxClusterSize would otherwise silently
+    // truncate to hub pairs. Proven here at > 4096 vectors: cap-free equals
+    // driver-side brute force, and the DEFAULT cap demonstrably diverges.
+    val rng = new scala.util.Random(21)
+    val centers = Array.fill(6)(Array.fill(4)(rng.nextGaussian()))
+    val n = 4200
+    val data = (0 until n).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + rng.nextGaussian() * 0.02).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(4).cache()
+    val cents = Similarity.trainCentroidsFromSample(
+      Similarity.sampleByKey(df, "vec_id", "embedding", 64), 2)
+    val capFree = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
+      threshold = 0.999, nProbe = 2, maxClusterSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = data.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    val brute = (for {
+      (i, vi) <- all; (j, vj) <- all if i < j
+      if BigDecimal(cos(vi, vj)).setScale(5, BigDecimal.RoundingMode.HALF_UP) >= 0.999
+    } yield (i, j)).toSet
+    assert(capFree == brute,
+      s"capFree=${capFree.size} brute=${brute.size} missing=${(brute -- capFree).take(3)}")
+    val defaultCap = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
+      threshold = 0.999, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaultCap.size < brute.size,
+      "default cap did not truncate a > 4096-member cluster — hazard test is vacuous")
+    df.unpersist()
+  }
+
   test("ivf near-dup pairs unchanged when no cluster exceeds the cap") {
     val rng = new scala.util.Random(9)
     val centers = Array.fill(4)(Array.fill(8)(rng.nextGaussian()))
