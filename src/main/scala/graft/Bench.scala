@@ -166,6 +166,15 @@ object Bench {
         name -> (if (oks.size == attempts.size) Right(oks(oks.size / 2))
                  else Left(attempts.collectFirst { case Left(m) => m }.get))
       }
+    // distributed BPE vocabulary training at this SF (one corpus scan +
+    // one pair-count round per merge) — timed separately from the query
+    // surface because it is an iterative TRAINING op, not a query
+    val bpeMerges = 40
+    val (bpeModel, bpeTrainSec) = timed {
+      graft.pipeline.BpeTrainer.train(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", nMerges = bpeMerges)
+    }
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\""
     val qs = results.collect { case (k, Right(v)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -177,7 +186,7 @@ object Bench {
       f"""{"runs":${rs.map(s => f"$s%.3f").mkString("[", ",", "]")},"probes":${ps.map(s => f"$s%.3f").mkString("[", ",", "]")},"load_ratio":${ratioOf((rs, ps))}%.2f}"""
     }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"pipeline_sec_median":$pipeSecMedian%.3f,"pipeline_runs":$runsJson,"probe_runs":$probesJson,"probe_load_ratio":$loadRatio%.2f,"windows":$windowsJson,"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      f"""{"metric":"feature-vector rows/sec (turns/sec)","value":$turnsPerSec%.1f,"unit":"rows/sec","pipeline_rows":$nRows,"pipeline_cols":$nCols,"pipeline_sec":$pipeSec%.3f,"pipeline_sec_median":$pipeSecMedian%.3f,"pipeline_runs":$runsJson,"probe_runs":$probesJson,"probe_load_ratio":$loadRatio%.2f,"windows":$windowsJson,"bpe_train_sec":$bpeTrainSec%.3f,"bpe_train_merges":${bpeModel.merges.length},"cpus":$cpus,"total":$total%.3f,"unit_total":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -404,11 +404,36 @@ object SparkEntry {
         .select(d("doc_id"), coalesce(col("component"), d("doc_id")).as("component"))
     }),
 
+    // ---- composed fuzzy-dedup front door: LSH pairs -> connected
+    // components -> canonical verdict in ONE operator call. The default
+    // hub-star cap stays ON: capped pairs keep clusters transitively
+    // connected, so the component-level output equals the oracle's
+    // uncapped recursive-CTE fixpoint regardless of bucket sizes.
+    "q_fuzzy_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.fuzzyDedup(d, "doc_id", "text", numHashes = 8, bands = 4)
+    }),
+
     // ---- language-ID heuristic (stopword-marker argmax)
     "q_lang_id" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"),
         graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+    }),
+
+    // ---- trained char-bigram NB language ID, full train+score in the
+    // query (the q_lm_score pattern): the marker heuristic weak-labels the
+    // corpus, the NB trains on those labels with the library's own
+    // aggregations, and every doc is scored. The oracle recomputes the
+    // ENTIRE path in SQL — labels, top-V vocab, smoothed counts, rounded
+    // argmax. Null text -> null prediction on both sides.
+    "q_langid_nb" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val labeled = d.filter(col("text").isNotNull)
+        .select(col("text"), graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang"))
+      val model = graft.pipeline.LangId.train(labeled, "text", "lang", n = 2, vocabSize = 512)
+      d.select(col("doc_id"), graft.pipeline.LangId.scoreCol(col("text"), model).as("s"))
+        .select(col("doc_id"), col("s.lang").as("nb_pred"), col("s.ll").as("ll"))
     }),
 
     // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
@@ -998,6 +1023,50 @@ object SparkEntry {
          |SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id""".stripMargin
     },
 
+    // the composed front door: same banded-pairs + recursive-CTE fixpoint,
+    // extended with the per-component size and canonical verdict
+    "q_fuzzy_dedup" -> {
+      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+      val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+      s"""WITH RECURSIVE grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ',
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+         |  FROM documents),
+         |bases AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+         |  FROM grams),
+         |consts(i, a, b, c) AS (VALUES ${consts}),
+         |sig AS (
+         |  SELECT doc_id, consts.i AS hash_idx,
+         |    list_aggregate(list_transform(bh, h ->
+         |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
+         |  FROM bases, consts),
+         |banded AS (
+         |  SELECT doc_id, hash_idx // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+         |  FROM sig GROUP BY doc_id, hash_idx // 2),
+         |pairsq AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairsq
+         |  UNION ALL SELECT id2, id1 FROM pairsq),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id)
+         |, comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+         |siz AS (SELECT component, COUNT(*) AS dup_count FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.dup_count
+         |FROM comp c JOIN siz s ON s.component = c.component""".stripMargin
+    },
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
@@ -1013,6 +1082,61 @@ object SparkEntry {
         |       WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // the NB language-ID train+score path recomputed end to end: heuristic
+    // labels, code-point bigrams, top-512 vocab (count desc, gram asc),
+    // add-0.5 smoothing over in-vocab totals, argmax on ROUND(ll, 6) with
+    // lang-asc tie-break — every constant mirrors LangId.train's defaults
+    "q_langid_nb" ->
+      """WITH d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+        |lab AS (
+        |  SELECT d0.doc_id, d0.t,
+        |    (SELECT CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+        |            WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |            WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |            WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
+        |            ELSE 'und' END
+        |     FROM (SELECT
+        |       len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS en,
+        |       len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS de,
+        |       len(list_filter(toks, x -> x IN ('el','la','que','de','es'))) AS es,
+        |       len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS fr
+        |       FROM (SELECT regexp_split_to_array(trim(d0.t), '\s+') AS toks))) AS lang
+        |  FROM d0 WHERE d0.text IS NOT NULL),
+        |g0 AS (SELECT lang, t, UNNEST(range(1, len(t))) AS i FROM lab),
+        |gx AS (SELECT lang, substr(t, i, 2) AS gram FROM g0),
+        |voc AS (SELECT gram, COUNT(*) AS vc FROM gx GROUP BY gram
+        |        ORDER BY vc DESC, gram LIMIT 512),
+        |cnt AS (SELECT gx.lang, gx.gram, COUNT(*) AS c
+        |        FROM gx JOIN voc ON voc.gram = gx.gram GROUP BY gx.lang, gx.gram),
+        |tl AS (SELECT lang, SUM(c) AS tt FROM cnt GROUP BY lang),
+        |pri AS (SELECT lang, COUNT(*) AS nd FROM lab GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS n FROM lab),
+        |vn AS (SELECT COUNT(*) AS v FROM voc),
+        |dg AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM d0 WHERE t IS NOT NULL),
+        |dgx AS (SELECT doc_id, substr(t, i, 2) AS gram FROM dg),
+        |scores AS (
+        |  SELECT d0.doc_id, pri.lang,
+        |    ln(CAST(pri.nd AS DOUBLE) / (SELECT n FROM tot)) + COALESCE(SUM(
+        |      CASE WHEN dgx.gram IS NULL THEN NULL
+        |           ELSE ln((COALESCE(c2.c, 0) + 0.5) /
+        |                   (COALESCE(tl.tt, 0) + 0.5 * ((SELECT v FROM vn) + 1)))
+        |      END), 0.0) AS ll
+        |  FROM d0 CROSS JOIN pri
+        |  LEFT JOIN tl ON tl.lang = pri.lang
+        |  LEFT JOIN dgx ON dgx.doc_id = d0.doc_id
+        |  LEFT JOIN cnt c2 ON c2.lang = pri.lang AND c2.gram = dgx.gram
+        |  WHERE d0.text IS NOT NULL
+        |  GROUP BY d0.doc_id, pri.lang, pri.nd, tl.tt),
+        |ranked AS (
+        |  SELECT doc_id, lang, ROUND(ll, 6) AS rll,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY ROUND(ll, 6) DESC, lang ASC) AS rk
+        |  FROM scores)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE r.lang END AS nb_pred,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE r.rll END AS ll
+        |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1""".stripMargin,
 
     // the packing recomputed as pure window arithmetic: global token
     // position within the shard, divided into seqLen sequences

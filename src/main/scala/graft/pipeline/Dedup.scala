@@ -362,6 +362,41 @@ object Dedup {
     CcResult(lab, converged, it)
   }
 
+  /** Composed fuzzy-dedup front door: MinHash-LSH candidate pairs →
+    * connected components → canonical verdict, as ONE public operator (the
+    * near-dup analogue of [[exact]]). Output: one row per input document —
+    * (idCol, component, is_canonical, dup_count); the component label IS
+    * the cluster's minimum id (min-label propagation's fixpoint), so the
+    * canonical survivor is `id == component`, and documents with no
+    * near-dup form their own singleton component.
+    *
+    * Scale shape: the pair stage keeps [[lshCandidatePairs]]'s mega-bucket
+    * hub-star cap — the star preserves transitive connectivity, so the
+    * COMPONENTS (and hence this operator's output) are identical to the
+    * uncapped enumeration while a boilerplate bucket stays linear. The
+    * verdict join is the [[exact]] shape: map-side-combinable size
+    * aggregate + one-summary-row-per-component join (AQE-skew-splittable),
+    * never a per-component window.
+    */
+  def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4, n: Int = 3,
+                 maxBucketSize: Int = 4096, maxIter: Int = 20): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, numHashes, bands, n, maxBucketSize)
+    val labels = connectedComponents(pairs, maxIter = maxIter)
+    // shared lazily-checkpointed label frame: the size aggregate and the
+    // verdict join both read it, so the CC output is materialized once
+    val ids = df.select(col(idCol))
+    val lab = ids.join(labels, ids(idCol) === labels("id"), "left")
+      .select(ids(idCol), coalesce(col("component"), ids(idCol)).as("component"))
+      .localCheckpoint(false)
+    val sizes = lab.groupBy(col("component")).agg(count(lit(1)).as("dup_count"))
+      .withColumnRenamed("component", "__g_comp")
+    lab.join(sizes, col("component") === col("__g_comp"))
+      .select(col(idCol), col("component"),
+        (col(idCol) === col("component")).as("is_canonical"),
+        col("dup_count"))
+  }
+
   /** n-gram Jaccard similarity for given candidate pairs (id1, id2). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {

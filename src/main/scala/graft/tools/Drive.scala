@@ -640,6 +640,55 @@ object Drive {
         threshold = 0.9999, nProbe = 2).count()
       println(s"CAPFREE_PAIRS=$free CAPPED=$capped (expect free >> capped: default cap truncates at 4300 > 4096)")
     }
+    // round 5: distributed BPE trainer + NB lang-ID + fuzzy dedup front
+    // door + resumable curation kill/resume
+    {
+      import spark.implicits._
+      // BPE trainer on a tiny corpus: learned merges apply end-to-end
+      val bt = graft.pipeline.BpeTrainer.train(
+        Seq("low low lower lowest", "new newer newest low").toDF("text"), "text", nMerges = 12)
+      println(s"BPE_TRAIN merges=${bt.merges.length} head=${bt.merges.take(3).mkString(",")} " +
+        s"tok(low)=${bt.tokenize("low").mkString("|")}")
+      // NB language ID: trains on heuristic labels, scores hostile inputs
+      val liDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("text"), graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang"))
+      val liModel = graft.pipeline.LangId.train(liDocs, "text", "lang", n = 2, vocabSize = 256)
+      val liOut = Seq("the cat and the dog", "", "zzzz").toDF("text")
+        .select(graft.pipeline.LangId.scoreCol(col("text"), liModel).as("s"))
+        .collect().map(r => r.getStruct(0).getString(0)).toSeq
+      println(s"LANGID_NB langs=${liModel.langs.mkString(",")} preds=$liOut")
+      // fuzzy dedup front door on real docs: every doc labeled, canonical
+      // count == component count
+      val fd = graft.pipeline.Dedup.fuzzyDedup(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text",
+        numHashes = 8, bands = 4)
+      val fdAgg = fd.agg(count(lit(1)), sum(when(col("is_canonical"), 1).otherwise(0)),
+        countDistinct("component")).collect()(0)
+      println(s"FUZZY_DEDUP docs=${fdAgg.getLong(0)} canonical=${fdAgg.getLong(1)} " +
+        s"components=${fdAgg.getLong(2)} (canonical == components expected)")
+      // resumable curation: full run, then delete 3 buckets and resume —
+      // manifests must come back bit-identical, untouched buckets unwritten
+      val docs5 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val curDir = java.nio.file.Files.createTempDirectory("drive_curate").toString
+      val m1 = CurationJob.run(docs5, curDir, nBuckets = 8, seqLen = 128)
+      val keepPart = 0
+      val keepFile = java.nio.file.Files.list(java.nio.file.Paths.get(s"$curDir/__part=$keepPart"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val mtimeBefore = java.nio.file.Files.getLastModifiedTime(keepFile)
+      Seq(1, 4, 6).foreach { p =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s"$curDir/_manifest_part_$p.json"))
+        val d = java.nio.file.Paths.get(s"$curDir/__part=$p")
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val m2 = CurationJob.run(docs5, curDir, nBuckets = 8, seqLen = 128)
+      val same = m1.map(m => (m.part, m.rows, m.featureHash)) ==
+        m2.map(m => (m.part, m.rows, m.featureHash))
+      val untouched = java.nio.file.Files.getLastModifiedTime(keepFile) == mtimeBefore
+      println(s"CURATE_RESUME manifests_identical=$same untouched_bucket_not_rewritten=$untouched " +
+        s"rows=${m2.map(_.rows).sum} (expect true/true)")
+    }
     spark.stop()
   }
 }

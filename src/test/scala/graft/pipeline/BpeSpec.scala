@@ -78,6 +78,64 @@ class BpeSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("distributed trainer reproduces the Python trainer's merges token-for-token") {
+    val src = scala.io.Source.fromFile(res("/fixtures/bpe_corpus.txt"), "UTF-8")
+    val corpusLines = try src.getLines().toVector finally src.close()
+    val corpus = corpusLines.toDF("text").repartition(3)
+    val trained = BpeTrainer.train(corpus, "text", nMerges = 200, checkpointEvery = 16)
+    assert(trained.merges.length == model.merges.length,
+      s"${trained.merges.length} vs ${model.merges.length}")
+    trained.merges.zip(model.merges).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"merge $i: $got vs $exp")
+    }
+    // the trained model TOKENIZES identically too (the end-to-end claim)
+    golden.foreach { case (text, n, toks) =>
+      assert(trained.tokenize(text).toSeq == toks, s"'$text'")
+      assert(trained.countTokens(text) == n)
+    }
+    // early exhaustion: asking for more merges than exist stops cleanly
+    val tiny = BpeTrainer.train(Seq("ab ab").toDF("text"), "text", nMerges = 50)
+    assert(tiny.merges.length < 50 && tiny.tokenize("ab").toSeq == Seq("ab</w>"))
+    // hostile: empty corpus -> zero merges, no crash
+    assert(BpeTrainer.train(corpus.limit(0), "text", 10).merges.isEmpty)
+  }
+
+  test("byte-fallback encoder matches the Python golden and round-trips") {
+    val vocabB = BpeModel.loadVocabFile(res("/fixtures/bpe_vocab_bytes.txt"))
+    val encB = new BpeEncoder(model, vocabB, byteFallback = true)
+    val src = scala.io.Source.fromFile(res("/fixtures/bpe_ids_bytes_golden.tsv"), "UTF-8")
+    val goldenB = try src.getLines().toVector.map { l =>
+      val parts = l.split("\t", -1)
+      (parts(0), if (parts.length < 2 || parts(1).isEmpty) Nil
+                 else parts(1).split(" ").toSeq.map(_.toInt))
+    } finally src.close()
+    assert(goldenB.nonEmpty)
+    goldenB.foreach { case (text, ids) =>
+      val got = encB.encode(text).toSeq
+      assert(got == ids, s"'$text': $got vs $ids")
+      // zero information loss: decode reproduces the normalized text
+      val norm = text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(encB.decode(got.toArray) == norm, s"'$text' decode")
+      // byte fallback never emits <unk>
+      assert(!got.contains(0), s"'$text' leaked <unk>")
+    }
+    // in-vocab text encodes to the same TOKEN SEQUENCE as the plain path
+    // (ids differ by the byte-token offset; map back through each vocab)
+    val vocabA = BpeModel.loadVocabFile(res("/fixtures/bpe_vocab.txt"))
+    val t0 = "the quick brown fox"
+    assert(encB.encode(t0).map(vocabB(_)).toSeq == encoder.encode(t0).map(vocabA(_)).toSeq)
+    // the native expression path carries byte-fallback encoders unchanged
+    val viaCol = Seq("γράφειν means to write").toDF("text")
+      .select(BpeModel.encodeCol(col("text"), encB).as("ids"))
+      .collect()(0).getSeq[Int](0)
+    assert(viaCol == goldenB.head._2, s"$viaCol vs ${goldenB.head._2}")
+    // construction fails loudly on a vocab without byte coverage
+    intercept[IllegalArgumentException] {
+      new BpeEncoder(model, vocabA, byteFallback = true)
+    }
+  }
+
   test("counts are stable on the documents fixture and fallback stays available") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val r = docs.select(

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained char-n-gram NB language ID: must discriminate real languages on
+  * a labeled fixture STRICTLY better than the marker-word heuristic (the
+  * VERDICT's credibility bar), through the codegen'd scoring expression.
+  */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(p: String) = getClass.getResource(p).getPath
+  private def loadTsv(p: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromFile(res(p), "UTF-8")
+    try src.getLines().toVector.map { l =>
+      val t = l.split("\t", 2); (t(0), t(1))
+    } finally src.close()
+  }
+
+  lazy val train = loadTsv("/fixtures/langid_train.tsv")
+  lazy val test = loadTsv("/fixtures/langid_test.tsv")
+
+  test("NB language ID beats the marker heuristic on held-out labeled text") {
+    val trainDf = train.toDF("lang", "text").repartition(3)
+    val model = LangId.train(trainDf, "text", "lang", n = 2)
+    assert(model.langs.toSeq == Seq("de", "en", "es", "fr"))
+    val testDf = test.toDF("lang", "text")
+    val scored = testDf.select(col("lang"),
+      LangId.predictCol(col("text"), model).as("nb"),
+      TextOps.langIdHeuristic(col("text")).as("heur")).collect()
+    val nbAcc = scored.count(r => r.getString(1) == r.getString(0)).toDouble / scored.length
+    val heurAcc = scored.count(r => r.getString(2) == r.getString(0)).toDouble / scored.length
+    assert(nbAcc > heurAcc, s"nb=$nbAcc heur=$heurAcc")
+    assert(nbAcc >= 0.9, s"nb accuracy $nbAcc below 0.9 on the fixture")
+    // trigram model at least matches bigram accuracy on this fixture
+    val m3 = LangId.train(trainDf, "text", "lang", n = 3)
+    val nb3 = testDf.select(col("lang"), LangId.predictCol(col("text"), m3).as("p")).collect()
+    val acc3 = nb3.count(r => r.getString(1) == r.getString(0)).toDouble / nb3.length
+    assert(acc3 >= 0.9, s"trigram accuracy $acc3")
+  }
+
+  test("scoring semantics: rounded argmax, null propagation, degenerate inputs") {
+    val model = LangId.train(train.toDF("lang", "text"), "text", "lang", n = 2)
+    // null text -> null struct through the expression
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(LangId.scoreCol(col("text"), model).as("s")).collect()(0)
+    assert(nullRow.isNullAt(0))
+    // empty / sub-n text scores prior-only: argmax = the most frequent
+    // training language under lex tie-break (all priors equal here -> "de")
+    val empty = Seq("", "x").toDF("text")
+      .select(LangId.scoreCol(col("text"), model).getField("lang").as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(empty == Seq("de", "de"), empty.toString)
+    // expression output matches a driver-side recompute exactly (UTF8String
+    // lowercase == JVM path the model was trained through)
+    val txts = test.map(_._2)
+    val viaCol = txts.toDF("text").repartition(2)
+      .select(col("text"), LangId.scoreCol(col("text"), model).as("s"))
+      .select(col("text"), col("s.lang"), col("s.ll"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    txts.foreach { t =>
+      val direct = model.score(t.toLowerCase(java.util.Locale.ROOT))
+      assert(viaCol(t) == direct, s"'$t': ${viaCol(t)} vs $direct")
+    }
+    // vocab cap: a tiny vocab still trains and predicts (degraded, total)
+    val tiny = LangId.train(train.toDF("lang", "text"), "text", "lang", n = 2, vocabSize = 8)
+    assert(tiny.vocabSize <= 8)
+    val p = Seq("der schnelle braune fuchs").toDF("text")
+      .select(LangId.predictCol(col("text"), tiny)).collect()(0).getString(0)
+    assert(Set("de", "en", "es", "fr").contains(p))
+    // fail-fast guard on unbounded language cardinality
+    val many = (0 until 100).map(i => (s"l$i", "some text")).toDF("lang", "text")
+    intercept[IllegalArgumentException] {
+      LangId.train(many, "text", "lang", maxLangs = 64)
+    }
+  }
+}

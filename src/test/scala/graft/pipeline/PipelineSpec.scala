@@ -196,6 +196,48 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count(_._1 >= 100L) == 10, s"small-cluster pairs: ${pairs.count(_._1 >= 100L)}")
   }
 
+  test("fuzzyDedup resolves known near-dup groups to canonical components") {
+    // two near-dup families (word-level edits of a shared base), one exact
+    // triplet, and isolated documents
+    val baseA = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town " +
+      "square and the evening market slowly closes its wooden stalls under fading amber light"
+    val baseB = "distributed query engines optimize logical plans into efficient physical operators " +
+      "by pruning columns pushing filters and choosing join strategies from table statistics"
+    val docs = Seq(
+      1L -> baseA,
+      2L -> (baseA + " tonight"),
+      3L -> (baseA + " again tomorrow"),
+      10L -> baseB,
+      11L -> (baseB + " reliably"),
+      20L -> "an entirely unrelated document about gardening and soil quality in spring",
+      21L -> "another isolated text concerning medieval history and castle construction",
+      30L -> "same exact words here", 31L -> "same exact words here", 32L -> "same exact words here"
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDedup(docs, "doc_id", "text", numHashes = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.size == 10) // every input row present
+    // family A: component = min id 1, only 1 canonical
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2)
+    assert(Seq(1L, 2L, 3L).forall(out(_)._3 == 3L))
+    // family B
+    assert(Seq(10L, 11L).map(out(_)._1).distinct == Seq(10L) && out(10L)._2 && !out(11L)._2)
+    // exact triplet collapses too (exact dup is the trivial near-dup)
+    assert(Seq(30L, 31L, 32L).map(out(_)._1).distinct == Seq(30L))
+    // isolated docs are their own singleton canonical components
+    assert(out(20L) == ((20L, true, 1L)) && out(21L) == ((21L, true, 1L)))
+    // families never merge with each other
+    assert(out(1L)._1 != out(10L)._1 && out(1L)._1 != out(30L)._1)
+    // capped pair stage yields the SAME component output (hub-star keeps
+    // transitive connectivity — the q_fuzzy_dedup oracle contract)
+    val capped = Dedup.fuzzyDedup(docs, "doc_id", "text", numHashes = 8, bands = 4,
+      maxBucketSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(capped == out, "capped fuzzyDedup diverged at the component level")
+    // hostile: empty corpus
+    assert(Dedup.fuzzyDedup(docs.limit(0), "doc_id", "text").count() == 0)
+  }
+
   test("cap-free ivf near-dup == brute force past 4096 vectors (recall-1 oracle contract)") {
     // The driver-gate contract (q_rp_ivf_neardup / q_ivf_neardup): when a
     // full-enumeration oracle gates the query, the hub-star cap must be

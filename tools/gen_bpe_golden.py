@@ -9,6 +9,15 @@ tokenizer (graft.pipeline.Bpe):
   line index; line 0 is "<unk>", then all corpus-reachable symbols sorted
 - src/test/resources/fixtures/bpe_ids_golden.tsv — text<TAB>space-joined ids
   (tokens absent from the vocab map to <unk> = 0)
+- src/test/resources/fixtures/bpe_corpus.txt   — the training corpus itself
+  (consumed by BpeTrainerSpec: the Scala distributed trainer must reproduce
+  bpe_merges.txt token-for-token from this text)
+- src/test/resources/fixtures/bpe_vocab_bytes.txt — byte-fallback vocab:
+  "<unk>", the 256 "<0xNN>" byte tokens, then the corpus symbols sorted
+- src/test/resources/fixtures/bpe_ids_bytes_golden.tsv — byte-fallback ids
+  for the non-Latin texts: unknown tokens decompose to UTF-8 byte tokens
+  (a "</w>"-suffixed unknown emits its stem's bytes then the "</w>" id) —
+  no information loss, decode() round-trips the normalized text
 
 Algorithm (Sennrich-style word-level BPE, character base):
 - normalize: lowercase, split on whitespace
@@ -51,6 +60,27 @@ TEST_TEXTS = [
     "a b c",
     "",
 ]
+
+# byte-fallback goldens: scripts absent from the (ASCII) corpus alphabet —
+# already lowercase, so Python .lower() and Java toLowerCase(ROOT) agree
+BYTELEVEL_TEXTS = [
+    "γράφειν means to write",
+    "日本語 テスト data",
+    "mixed ørsted çünkü tokens",
+    "the quick brown fox",  # fully in-vocab: ids must match the plain path
+]
+
+BYTE_TOKENS = ["<0x%02X>" % i for i in range(256)]
+EOW_ID_NOTE = "a '</w>'-suffixed unknown emits stem bytes then the </w> id"
+
+
+def encode_bytefallback(tok, ids):
+    if tok in ids:
+        return [ids[tok]]
+    stem = tok[: -len(EOW)] if tok.endswith(EOW) else None
+    if stem is not None:
+        return [ids[BYTE_TOKENS[b]] for b in stem.encode("utf-8")] + [ids[EOW]]
+    return [ids[BYTE_TOKENS[b]] for b in tok.encode("utf-8")]
 
 
 def words(text):
@@ -137,6 +167,20 @@ def main():
     with open("src/test/resources/fixtures/bpe_ids_golden.tsv", "w") as f:
         for t, (_, toks) in golden.items():
             f.write(f"{t}\t{' '.join(str(ids.get(tok, 0)) for tok in toks)}\n")
+    # the corpus itself, for the Scala distributed-trainer parity spec
+    with open("src/test/resources/fixtures/bpe_corpus.txt", "w") as f:
+        f.write(CORPUS)
+    # byte-fallback vocab + ids goldens (regenerate together with the above)
+    vocab_b = ["<unk>"] + BYTE_TOKENS + sorted(symbols)
+    ids_b = {tok: i for i, tok in enumerate(vocab_b)}
+    with open("src/test/resources/fixtures/bpe_vocab_bytes.txt", "w") as f:
+        for tok in vocab_b:
+            f.write(tok + "\n")
+    with open("src/test/resources/fixtures/bpe_ids_bytes_golden.tsv", "w") as f:
+        for t in BYTELEVEL_TEXTS:
+            toks = [tok for w in words(t) for tok in apply_bpe(w, ranks)]
+            enc = [i for tok in toks for i in encode_bytefallback(tok, ids_b)]
+            f.write(f"{t}\t{' '.join(map(str, enc))}\n")
     print(f"{len(merges)} merges; vocab {len(vocab)}; golden for {len(TEST_TEXTS)} texts")
     for t in TEST_TEXTS[:3]:
         print(repr(t), "->", golden[t][0], golden[t][1][:8])
