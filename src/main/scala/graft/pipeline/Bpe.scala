@@ -214,6 +214,16 @@ object BpeModel {
     try load(src.getLines()) finally src.close()
   }
 
+  /** Persist a (trained) model in the same "a b" merge-line format
+    * [[loadFile]] reads — train the vocab once with [[BpeTrainer]], save,
+    * serve refit-free.
+    */
+  def saveFile(model: BpeModel, path: String): Unit = {
+    val sb = new StringBuilder
+    model.merges.foreach { case (a, b) => sb.append(a).append(' ').append(b).append('\n') }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), sb.toString.getBytes("UTF-8"))
+  }
+
   /** Exact token-count column through the native expression. */
   def countCol(text: Column, model: BpeModel): Column = {
     val bridge = org.apache.spark.sql.graft.GraftSqlBridge

@@ -42,6 +42,13 @@ object LangId {
 
     def vocabSize: Int = gramLogProb.size()
 
+    /** Stable-order view of the gram table (for persistence). */
+    def gramEntries: Seq[(String, Array[Double])] = {
+      val out = Vector.newBuilder[(String, Array[Double])]
+      gramLogProb.forEach((g, arr) => out += ((g, arr)))
+      out.result().sortBy(_._1)
+    }
+
     def gramLog(gram: String): Array[Double] = {
       val v = gramLogProb.get(gram)
       if (v == null) unseenLogProb else v
@@ -150,4 +157,34 @@ object LangId {
   /** Predicted-language column alone. */
   def predictCol(text: Column, model: LangIdModel): Column =
     scoreCol(text, model).getField("lang")
+
+  /** Persist the trained model as parquet (train once, serve refit-free —
+    * the LangModel.save pattern). Doubles round-trip bit-exactly.
+    */
+  def save(model: LangIdModel, path: String): Unit = {
+    require(model.langs.nonEmpty, "refusing to persist an empty model")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.langs.indices.map(i =>
+        (i, model.langs(i), model.logPrior(i), model.unseenLogProb(i), model.n))
+      .toDF("i", "lang", "log_prior", "unseen", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    model.gramEntries.map { case (g, arr) => (g, arr.toSeq) }
+      .toDF("gram", "probs")
+      .write.mode("overwrite").parquet(s"$path/grams")
+  }
+
+  def load(path: String): LangIdModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = spark.read.parquet(s"$path/meta").orderBy("i").collect()
+    require(meta.nonEmpty, s"empty langid meta at $path/meta")
+    val langs = meta.map(_.getString(1))
+    val prior = meta.map(_.getDouble(2))
+    val unseen = meta.map(_.getDouble(3))
+    val map = new java.util.HashMap[String, Array[Double]]()
+    spark.read.parquet(s"$path/grams").collect().foreach { r =>
+      map.put(r.getString(0), r.getSeq[Double](1).toArray)
+    }
+    new LangIdModel(langs, prior, meta(0).getInt(4), unseen, map)
+  }
 }

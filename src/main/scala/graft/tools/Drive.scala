@@ -689,6 +689,36 @@ object Drive {
       println(s"CURATE_RESUME manifests_identical=$same untouched_bucket_not_rewritten=$untouched " +
         s"rows=${m2.map(_.rows).sum} (expect true/true)")
     }
+    // round 5 (cont.): trained-model persistence — BPE merge file +
+    // LangId parquet round-trips, scores bit-identical after reload
+    {
+      import spark.implicits._
+      val bt = graft.pipeline.BpeTrainer.train(
+        Seq("low low lower lowest", "new newer newest low").toDF("text"), "text", nMerges = 12)
+      val bpePath = java.nio.file.Files.createTempFile("drive_bpe", ".txt").toString
+      graft.pipeline.BpeModel.saveFile(bt, bpePath)
+      val btBack = graft.pipeline.BpeModel.loadFile(bpePath)
+      println(s"BPE_PERSIST merges_roundtrip=${btBack.merges.toSeq == bt.merges.toSeq} " +
+        s"tok_eq=${btBack.tokenize("lowest").toSeq == bt.tokenize("lowest").toSeq}")
+      val liDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("text"), graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang"))
+      val liModel = graft.pipeline.LangId.train(liDocs, "text", "lang", n = 2, vocabSize = 256)
+      val liDir = java.nio.file.Files.createTempDirectory("drive_langid").toString
+      graft.pipeline.LangId.save(liModel, liDir)
+      val liBack = graft.pipeline.LangId.load(liDir)
+      val probe = Seq("the cat and the dog", "le chat et le chien", "zzzz", "")
+      val bitEq = probe.forall(t => liBack.score(t.toLowerCase(java.util.Locale.ROOT)) ==
+        liModel.score(t.toLowerCase(java.util.Locale.ROOT)))
+      println(s"LANGID_PERSIST langs_eq=${liBack.langs.toSeq == liModel.langs.toSeq} " +
+        s"vocab_eq=${liBack.vocabSize == liModel.vocabSize} scores_bit_identical=$bitEq")
+      // hostile: refuse to persist an empty model
+      val emptyRefused =
+        try { graft.pipeline.LangId.save(new graft.pipeline.LangId.LangIdModel(
+          Array.empty, Array.empty, 2, Array.empty, new java.util.HashMap()), liDir); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"LANGID_PERSIST_EMPTY_REFUSED=$emptyRefused (expect true)")
+    }
     spark.stop()
   }
 }

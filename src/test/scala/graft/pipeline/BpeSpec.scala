@@ -98,6 +98,11 @@ class BpeSpec extends SparkSpec {
     assert(tiny.merges.length < 50 && tiny.tokenize("ab").toSeq == Seq("ab</w>"))
     // hostile: empty corpus -> zero merges, no crash
     assert(BpeTrainer.train(corpus.limit(0), "text", 10).merges.isEmpty)
+    // saveFile/loadFile round-trips the trained model (the persistence
+    // half of the train-once-serve-refit-free story)
+    val mPath = java.nio.file.Files.createTempFile("graft_bpe", ".txt").toString
+    BpeModel.saveFile(trained, mPath)
+    assert(BpeModel.loadFile(mPath).merges.toSeq == trained.merges.toSeq)
   }
 
   test("byte-fallback encoder matches the Python golden and round-trips") {

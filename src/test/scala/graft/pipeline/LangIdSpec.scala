@@ -75,4 +75,17 @@ class LangIdSpec extends SparkSpec {
       LangId.train(many, "text", "lang", maxLangs = 64)
     }
   }
+
+  test("parquet save/load round-trips the model with bit-identical scores") {
+    val model = LangId.train(train.toDF("lang", "text"), "text", "lang", n = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    LangId.save(model, dir)
+    val back = LangId.load(dir)
+    assert(back.langs.toSeq == model.langs.toSeq && back.n == model.n)
+    assert(back.vocabSize == model.vocabSize)
+    test.map(_._2).foreach { t =>
+      val lc = t.toLowerCase(java.util.Locale.ROOT)
+      assert(back.score(lc) == model.score(lc), s"'$t'")
+    }
+  }
 }
