@@ -173,6 +173,45 @@ object SparkEntry {
           round(col("frac").cast("double"), 6).as("frac"))
     }),
 
+    // ---- image near-dup by 64-bit perceptual dHash, banded into 8 x 8-bit
+    // buckets (hamming <= 7 guaranteed by pigeonhole — the LAION-style
+    // perceptual-dedup regime). The 12x6 PGM payload is built from five
+    // salted md5 digests so every pixel, the nearest-neighbor 9x8 grid
+    // sample, each band byte and thus every candidate pair is recomputable
+    // in SQL. Cap-free for the same reason as q_simhash_pairs: the oracle
+    // enumerates ALL within-bucket pairs (the capped production default is
+    // exercised by MultimodalSpec instead).
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+      val header = lit("P5\n12 6\n255\n".getBytes("US-ASCII"))
+      val payload = concat((0 until 5).map(k =>
+        unhex(md5(encode(concat(col("text"), lit(s"#$k")), "UTF-8")))): _*)
+      val media = d.select(col("doc_id").as("media_id"),
+        concat(header, substring(payload, 1, 72)).as("media"))
+      Multimodal.imageNearDupPairs(media, "media_id", "media",
+        bands = 8, maxBucketSize = Int.MaxValue)
+    }),
+
+    // ---- REAL audio decode through AutoCodec magic dispatch: a 16-bit PCM
+    // mono WAV (8 samples) is built from each document's md5 bytes, routed
+    // to WavCodec by its RIFF/WAVE magic, and the per-segment RMS energies
+    // are gated against an oracle that recomputes them sample-by-sample
+    // from the same md5 hex (float quantization mirrored via CAST AS REAL).
+    // NULL text -> NULL media -> the codec contract's zero vector.
+    "q_audio_decode" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val media = d.select(col("doc_id").as("media_id"),
+        concat(lit(Wav8Header), unhex(md5(encode(col("text"), "UTF-8")))).as("media"),
+        struct(lit("audio/wav").as("mime"), lit(0).as("width"),
+          lit(0).as("height"), lit(1L).as("duration_ms")).as("meta"))
+      Multimodal.decodeToEmbedding(media, dim = 4)
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("seg", "rms")))
+        .select(col("media_id"), col("seg").cast("long").as("seg"),
+          round(col("rms").cast("double"), 6).as("rms"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(
@@ -691,6 +730,27 @@ object SparkEntry {
       |  FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
       |  GROUP BY g.doc_id, g.nm)""".stripMargin
 
+  /** 44-byte RIFF/WAVE header for 16 bytes of PCM16 mono data (8 samples
+    * @ 8 kHz) — q_audio_decode prepends it to md5 payload bytes so the
+    * AutoCodec magic dispatch routes the blob to WavCodec.
+    */
+  private lazy val Wav8Header: Array[Byte] = {
+    val out = new Array[Byte](44)
+    def put(s: String, o: Int): Unit = {
+      val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, a.length)
+    }
+    def p32(v: Int, o: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def p16(v: Int, o: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    put("RIFF", 0); p32(36 + 16, 4); put("WAVE", 8)
+    put("fmt ", 12); p32(16, 16); p16(1, 20); p16(1, 22); p32(8000, 24)
+    p32(16000, 28); p16(2, 32); p16(16, 34)
+    put("data", 36); p32(16, 40)
+    out
+  }
+
   /** DuckDB mirror of `TextOps.qualityScore` over a column named `text`,
     * rounded to 6 — the SINGLE source spliced by the q_text_stats,
     * q_curate, and q_curate_pack oracles (no alias, no trailing comma).
@@ -790,6 +850,55 @@ object SparkEntry {
         |        ELSE COALESCE(c.c, 0) / 16.0 END, 6) AS frac
         |FROM d CROSS JOIN b
         |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.bin""".stripMargin,
+
+    // the dHash recomputed pixel-by-pixel from the same five salted md5
+    // digests the Spark side packed into the 12x6 PGM: nearest-neighbor
+    // 9-col x 8-row grid sample (min(src-1, i*src/dst)), band y's byte =
+    // sum over x of (v(y,x) < v(y,x+1)) << x, pairs = any shared band value
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(text || '#0') AS h0, md5(text || '#1') AS h1, md5(text || '#2') AS h2,
+        |    md5(text || '#3') AS h3, md5(text || '#4') AS h4
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, list_transform(range(72), j -> CAST(concat('0x', substr(
+        |    CASE j // 16 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3 ELSE h4 END,
+        |    CAST(2 * (j % 16) + 1 AS INT), 2)) AS INT)) AS pl
+        |  FROM d),
+        |bv AS (
+        |  SELECT doc_id, y.y AS band,
+        |    list_aggregate(list_transform(range(8), x ->
+        |      CASE WHEN pl[CAST((y.y * 6 // 8) * 12 + LEAST(11, x * 12 // 9) + 1 AS INT)]
+        |              < pl[CAST((y.y * 6 // 8) * 12 + LEAST(11, (x + 1) * 12 // 9) + 1 AS INT)]
+        |           THEN (CAST(1 AS BIGINT) << CAST(x AS INT)) ELSE CAST(0 AS BIGINT) END), 'sum') AS val
+        |  FROM p, (SELECT UNNEST(range(8)) AS y) y)
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        |FROM bv a JOIN bv c
+        |  ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id""".stripMargin,
+
+    // per-segment RMS recomputed sample-by-sample from the same md5 bytes
+    // the Spark side packed behind the WAV header (sample i = signed LE
+    // int16 of bytes 2i..2i+1, scaled to [-1,1); segment = 2 samples);
+    // float quantization mirrored via CAST AS REAL; NULL text mirrors the
+    // codec's zero vector
+    "q_audio_decode" ->
+      """WITH segs AS (SELECT UNNEST(range(4)) AS seg),
+        |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |smp AS (
+        |  SELECT d.doc_id, i.i AS i,
+        |    CAST(concat('0x', substr(d.h, CAST(4 * i.i + 1 AS INT), 2)) AS INT)
+        |    + 256 * CAST(concat('0x', substr(d.h, CAST(4 * i.i + 3 AS INT), 2)) AS INT) AS raw
+        |  FROM d, (SELECT UNNEST(range(8)) AS i) i
+        |  WHERE d.h IS NOT NULL),
+        |sv AS (SELECT doc_id, i,
+        |    (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) / 32768.0 AS v
+        |  FROM smp),
+        |r AS (SELECT doc_id, i // 2 AS seg, SUM(v * v) AS ss
+        |  FROM sv GROUP BY doc_id, i // 2)
+        |SELECT d.doc_id AS media_id, CAST(sg.seg AS BIGINT) AS seg,
+        |  ROUND(CASE WHEN d.h IS NULL THEN 0.0
+        |        ELSE CAST(CAST(sqrt(r.ss / 2.0) AS REAL) AS DOUBLE) END, 6) AS rms
+        |FROM d CROSS JOIN segs sg
+        |LEFT JOIN r ON r.doc_id = d.doc_id AND r.seg = sg.seg""".stripMargin,
 
     "q_text_stats" ->
       ("""SELECT doc_id,

@@ -41,6 +41,13 @@ object Multimodal {
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float]
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+
+    /** Decoded luminance grid as (row-major 0..255 ints, width, height), or
+      * null when the payload isn't a decodable image — the spatial view
+      * [[Multimodal.dHash]] needs (histogram features deliberately discard
+      * pixel POSITIONS, which a perceptual hash is all about).
+      */
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int)
   }
 
   /** Deterministic stand-in for a real decoder: features are a seeded hash
@@ -77,6 +84,24 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) return Seq.fill(n)(Array.empty[Byte])
       val step = math.max(1, bytes.length / n)
       (0 until n).map(i => bytes.slice(i * step, math.min(bytes.length, i * step + step)))
+    }
+
+    /** Deterministic fake 8x8 grid from the same hash expansion, so the
+      * stub path exercises the dHash plumbing on arbitrary payloads.
+      */
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      if (bytes == null) return null
+      val out = new Array[Int](64)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      i = 0
+      while (i < 64) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(i) = ((h >>> 16) & 0xFF).toInt
+        i += 1
+      }
+      (out, 8, 8)
     }
   }
 
@@ -192,6 +217,16 @@ object Multimodal {
         encodePgm(px.slice(y0 * w, y1 * w).map(_ * 255 / maxv), w, y1 - y0)
       }
     }
+
+    /** Same *255/maxval normalization as [[resize]], so a PGM and its PNG
+      * re-encode produce an identical grid (and identical dHash).
+      */
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      val d = lum(bytes)
+      if (d == null) return null
+      val (px, w, h, maxv) = d
+      (px.map(_ * 255 / maxv), w, h)
+    }
   }
 
   /** Real mainstream-image decoder: JPEG / PNG / GIF / BMP via the pure-JDK
@@ -294,6 +329,8 @@ object Multimodal {
         encodePng(px.slice(y0 * w, y1 * w), w, y1 - y0)
       }
     }
+
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int) = lum(bytes)
   }
 
   /** Real audio decoder: RIFF/WAVE, PCM 16-bit little-endian (format 1).
@@ -400,6 +437,9 @@ object Multimodal {
         encodeWav(s.slice(a, b2), rate)
       }
     }
+
+    /** Audio has no image luminance. */
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int) = null
   }
 
   /** Format-sniffing dispatcher — the default codec: routes each blob by
@@ -428,6 +468,12 @@ object Multimodal {
       route(bytes).resize(bytes, w, h)
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       route(bytes).sampleFrames(bytes, n)
+    def luminance(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      val c = route(bytes)
+      // an unrecognized payload is NOT an image: near-dup hashing must skip
+      // it rather than hash the stub's fake grid (junk would cluster)
+      if (c eq StubCodec) null else c.luminance(bytes)
+    }
   }
 
   /** media frame -> embedding column via batched per-partition decode.
@@ -450,6 +496,80 @@ object Multimodal {
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** 64-bit perceptual difference hash (dHash) of an image payload: the
+    * luminance grid is nearest-neighbor-sampled to `gridH` rows x
+    * (`gridW`+1) columns and bit `y*gridW + x` is set iff the sample at
+    * (y, x) is strictly darker than its right neighbor — the standard
+    * gradient-direction fingerprint (robust to rescaling, re-encoding and
+    * global brightness-PRESERVING transforms; a re-encoded or resized copy
+    * lands within a few bits of the original). Returns null (boxed) for
+    * undecodable / non-image payloads so near-dup hashing skips them.
+    *
+    * Sampling uses the same `min(src-1, i*src/dst)` nearest-neighbor
+    * convention as the codec `resize` implementations, making the hash
+    * reproducible from the raw bytes by an external engine (the
+    * q_image_neardup oracle recomputes it from md5-built PGMs in SQL).
+    */
+  def dHash(bytes: Array[Byte], codec: MediaCodec = AutoCodec,
+            gridW: Int = 8, gridH: Int = 8): java.lang.Long = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64, "dHash needs at most 64 bits")
+    val d = codec.luminance(bytes)
+    if (d == null) return null
+    val (px, w, h) = d
+    if (w <= 0 || h <= 0) return null
+    val cols = gridW + 1
+    var hash = 0L
+    var y = 0
+    while (y < gridH) {
+      val sy = math.min(h - 1, y * h / gridH)
+      var x = 0
+      while (x < gridW) {
+        val v0 = px(sy * w + math.min(w - 1, x * w / cols))
+        val v1 = px(sy * w + math.min(w - 1, (x + 1) * w / cols))
+        if (v0 < v1) hash |= 1L << (y * gridW + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Append a nullable `dhash` column via the batched per-partition seam
+    * (same shape as [[decodeToEmbedding]]; one map stage, no shuffle).
+    */
+  def withDHash(df: DataFrame, mediaCol: String = "media", batchSize: Int = 256,
+                codec: MediaCodec = AutoCodec,
+                gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = df.schema.add(StructField("dhash", LongType, nullable = true))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row.fromSeq(r.toSeq :+ dHash(r.getAs[Array[Byte]](mediaIdx), codec, gridW, gridH))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Image near-duplicate candidate pairs: dHash each payload, then band
+    * the 64-bit hash into `bands` contiguous bit ranges — two images within
+    * hamming distance `bands - 1` ALWAYS share a band (pigeonhole), the
+    * LAION-style perceptual-dedup regime. Undecodable payloads are skipped
+    * (null hash), and the banded stage is the shared
+    * [[Dedup.bandedSketchPairs]] core: one decode map stage, ONE shuffle
+    * (groupBy band bucket), within-bucket explode with the mega-bucket
+    * hub-star cap — flat-color corpora (solid thumbnails hash alike) stay
+    * linear instead of quadratic in one task. Output (id1, id2) distinct.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String = "media",
+                        codec: MediaCodec = AutoCodec, bands: Int = 8,
+                        maxBucketSize: Int = 4096, batchSize: Int = 256): DataFrame = {
+    val hashed = withDHash(df.select(col(idCol), col(mediaCol)), mediaCol, batchSize, codec)
+      .filter(col("dhash").isNotNull)
+    Dedup.bandedSketchPairs(hashed, idCol, col("dhash"), bits = 64, bands = bands,
+      maxBucketSize = maxBucketSize)
   }
 
   /** Thumbnail + n-frame sample in one batched pass. */

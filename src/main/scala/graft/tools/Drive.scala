@@ -719,6 +719,35 @@ object Drive {
         catch { case _: IllegalArgumentException => true }
       println(s"LANGID_PERSIST_EMPTY_REFUSED=$emptyRefused (expect true)")
     }
+    // round 5 (cont.): perceptual image near-dup — dHash over decoded
+    // luminance, banded hamming pairs; junk payloads skipped
+    {
+      val rng = new scala.util.Random(7)
+      def png(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = px(y * w + x) & 0xFF; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+      }
+      val base = Array.fill(24 * 12)(rng.nextInt(256))
+      val edited = base.clone(); edited(40) = 255 - edited(40)
+      val rows = Seq(
+        org.apache.spark.sql.Row(1L, png(base, 24, 12)),
+        org.apache.spark.sql.Row(2L, png(edited, 24, 12)),
+        org.apache.spark.sql.Row(3L, png(Array.fill(24 * 12)(rng.nextInt(256)), 24, 12)),
+        org.apache.spark.sql.Row(4L, "not an image at all".getBytes))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("img_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val pairs = graft.pipeline.Multimodal.imageNearDupPairs(df, "img_id", "media")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"IMG_NEARDUP pairs=$pairs (expect contains (1,2); never id 4; " +
+        s"dhash(junk)=${graft.pipeline.Multimodal.dHash("junk".getBytes)} expect null)")
+    }
     spark.stop()
   }
 }

@@ -178,6 +178,85 @@ class MultimodalSpec extends SparkSpec {
     val knn = Similarity.bruteForceKnn(e, e.filter(col("media_id") < 2), "media_id", "embedding", 3)
     assert(knn.count() == 6)
   }
+
+  test("dHash: re-encode-invariant, local-edit-tolerant, null on non-images") {
+    val w = 32; val h = 16
+    val rng = new scala.util.Random(11)
+    val px = Array.fill(w * h)(rng.nextInt(256))
+    val asPgm = "P5\n32 16\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+    val base = Multimodal.dHash(asPgm)
+    assert(base != null)
+    // cross-format: the SAME pixels as PNG and BMP hash identically (both
+    // luminance paths normalize to 0..255 with the same grid convention)
+    for (fmt <- Seq("png", "bmp")) {
+      assert(Multimodal.dHash(encodeImage(px, w, h, fmt)) == base, fmt)
+    }
+    // a resized copy of a SMOOTH image stays within a few bits (the
+    // perceptual property; white noise wouldn't — nearest-neighbor sample
+    // columns drift by a pixel between scales, which only preserves
+    // orderings when neighboring pixels correlate, as real images do)
+    val smooth = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (127 + 120 * math.sin(2 * math.Pi * x / w) * math.cos(math.Pi * y / h)).toInt
+    }
+    val hs = Multimodal.dHash(encodeImage(smooth, w, h, "png"))
+    val resized = Multimodal.ImageIoCodec.resize(encodeImage(smooth, w, h, "png"), 16, 8)
+    val hr = Multimodal.dHash(resized)
+    assert(hr != null && java.lang.Long.bitCount(hs ^ hr) <= 12,
+      s"resize moved ${java.lang.Long.bitCount(hs ^ hr)} bits")
+    // a single-pixel edit flips at most 2 bits (only the grid cells whose
+    // nearest-neighbor sample hits the edited pixel can change)
+    val edited = px.clone(); edited(5 * w + 7) = 255 - edited(5 * w + 7)
+    val he = Multimodal.dHash(encodeImage(edited, w, h, "png"))
+    assert(java.lang.Long.bitCount(base ^ he) <= 2)
+    // an unrelated image differs in many bits
+    val other = Array.fill(w * h)(rng.nextInt(256))
+    val ho = Multimodal.dHash(encodeImage(other, w, h, "png"))
+    assert(java.lang.Long.bitCount(base ^ ho) > 8)
+    // non-images -> null (never a fake hash): junk, WAV audio, null, empty
+    assert(Multimodal.dHash("definitely not an image".getBytes) == null)
+    assert(Multimodal.dHash(wav(64)) == null)
+    assert(Multimodal.dHash(null) == null)
+    assert(Multimodal.dHash(Array.empty[Byte]) == null)
+    // grids wider than 64 bits are refused loudly
+    assertThrows[IllegalArgumentException] { Multimodal.dHash(asPgm, gridW = 9, gridH = 8) }
+  }
+
+  test("imageNearDupPairs finds every pair within hamming bands-1; skips junk") {
+    val w = 24; val h = 12
+    val rng = new scala.util.Random(23)
+    // 30 base images; ids 100+i are one-pixel-edited copies (hamming <= 2)
+    val bases = (0 until 30).map(i => i.toLong -> Array.fill(w * h)(rng.nextInt(256)))
+    val rows = bases.flatMap { case (id, px) =>
+      val edited = px.clone(); edited(37) = 255 - edited(37)
+      Seq(Row(id, encodeImage(px, w, h, "png")),
+          Row(100L + id, encodeImage(edited, w, h, "bmp")))
+    } :+ Row(999L, "junk payload, not an image".getBytes) // must be skipped
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Multimodal.imageNearDupPairs(df, "img_id", "media", bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole completeness: EVERY pair within hamming <= 7 must be found
+    val hashes = rows.collect { case r if r.getLong(0) != 999L =>
+      r.getLong(0) -> Multimodal.dHash(r.getAs[Array[Byte]](1)).longValue
+    }
+    val expected = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 7
+    } yield (i1, i2)).toSet
+    assert(expected.subsetOf(got), s"missing ${expected -- got}")
+    // every edited copy is within hamming 2 of its base -> all 30 found
+    assert((0 until 30).forall(i => got.contains((i.toLong, 100L + i))), got.toString)
+    // junk produced no pairs
+    assert(got.forall { case (a, b) => a != 999L && b != 999L })
+    // found pairs really share a band (soundness vs the banding rule)
+    val hm = hashes.toMap
+    assert(got.forall { case (a, b) =>
+      (0 until 8).exists(k => ((hm(a) >>> (8 * k)) & 255) == ((hm(b) >>> (8 * k)) & 255))
+    })
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {
