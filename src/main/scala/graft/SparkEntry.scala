@@ -475,6 +475,20 @@ object SparkEntry {
         .select(col("doc_id"), col("s.lang").as("nb_pred"), col("s.ll").as("ll"))
     }),
 
+    // ---- model-based quality filtering (FineWeb/CCNet stage): a 2-class
+    // NB classifier trained on weak labels from the heuristic quality
+    // score; the filter value is the decision margin round6(ll_hi) -
+    // round6(ll_lo). The oracle replays the ENTIRE train+score path in SQL
+    // (weak labels, vocab, smoothing, per-class rounding) — the q_langid_nb
+    // pattern with a margin head instead of an argmax head.
+    "q_quality_nb" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.pipeline.QualityFilter.train(d, "text", vocabSize = 512)
+      d.select(col("doc_id"),
+        graft.pipeline.QualityFilter.marginCol(col("text"), model).as("margin"),
+        graft.pipeline.QualityFilter.keepCol(col("text"), model).as("keep"))
+    }),
+
     // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
     // the scale path buckets by LSH/IVF first — same scoring expression)
     "q_embed_neardup" -> ((s, dir) => {
@@ -1246,6 +1260,51 @@ object SparkEntry {
         |  CASE WHEN d.text IS NULL THEN NULL ELSE r.lang END AS nb_pred,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE r.rll END AS ll
         |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1""".stripMargin,
+
+    // the 2-class quality NB replayed train+score in SQL: weak labels from
+    // the heuristic quality score, same vocab/smoothing CTEs as
+    // q_langid_nb, margin = per-class rounding THEN subtraction
+    "q_quality_nb" ->
+      ("""WITH d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+        |lab AS (
+        |  SELECT d0.doc_id, d0.t,
+        |    CASE WHEN """.stripMargin + QualityScoreSql + """ >= 0.5
+        |         THEN 'hi' ELSE 'lo' END AS lang
+        |  FROM d0 WHERE d0.text IS NOT NULL),
+        |g0 AS (SELECT lang, t, UNNEST(range(1, len(t))) AS i FROM lab),
+        |gx AS (SELECT lang, substr(t, i, 2) AS gram FROM g0),
+        |voc AS (SELECT gram, COUNT(*) AS vc FROM gx GROUP BY gram
+        |        ORDER BY vc DESC, gram LIMIT 512),
+        |cnt AS (SELECT gx.lang, gx.gram, COUNT(*) AS c
+        |        FROM gx JOIN voc ON voc.gram = gx.gram GROUP BY gx.lang, gx.gram),
+        |tl AS (SELECT lang, SUM(c) AS tt FROM cnt GROUP BY lang),
+        |pri AS (SELECT lang, COUNT(*) AS nd FROM lab GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS n FROM lab),
+        |vn AS (SELECT COUNT(*) AS v FROM voc),
+        |dg AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM d0 WHERE t IS NOT NULL),
+        |dgx AS (SELECT doc_id, substr(t, i, 2) AS gram FROM dg),
+        |scores AS (
+        |  SELECT d0.doc_id, pri.lang,
+        |    ln(CAST(pri.nd AS DOUBLE) / (SELECT n FROM tot)) + COALESCE(SUM(
+        |      CASE WHEN dgx.gram IS NULL THEN NULL
+        |           ELSE ln((COALESCE(c2.c, 0) + 0.5) /
+        |                   (COALESCE(tl.tt, 0) + 0.5 * ((SELECT v FROM vn) + 1)))
+        |      END), 0.0) AS ll
+        |  FROM d0 CROSS JOIN pri
+        |  LEFT JOIN tl ON tl.lang = pri.lang
+        |  LEFT JOIN dgx ON dgx.doc_id = d0.doc_id
+        |  LEFT JOIN cnt c2 ON c2.lang = pri.lang AND c2.gram = dgx.gram
+        |  WHERE d0.text IS NOT NULL
+        |  GROUP BY d0.doc_id, pri.lang, pri.nd, tl.tt),
+        |m AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN lang = 'hi' THEN ROUND(ll, 6) END)
+        |      - MAX(CASE WHEN lang = 'lo' THEN ROUND(ll, 6) END) AS margin
+        |  FROM scores GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin END AS margin,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin >= 0.0 END AS keep
+        |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin),
 
     // the packing recomputed as pure window arithmetic: global token
     // position within the shard, divided into seqLen sequences

@@ -54,3 +54,45 @@ final class LangIdEval(model: graft.pipeline.LangId.LangIdModel) extends Seriali
     new GenericInternalRow(Array[Any](UTF8String.fromString(lang), ll))
   }
 }
+
+/** Two-class naive-Bayes decision margin of a string column:
+  * round6(ll(pos)) - round6(ll(neg)) under a [[graft.pipeline.LangId]]
+  * model — the model-based quality-filter score
+  * ([[graft.pipeline.QualityFilter]]). Same codegen shape as
+  * [[LangIdScore]] (reference object, instance method); null text → null.
+  */
+case class LangIdMargin(child: Expression, model: graft.pipeline.LangId.LangIdModel,
+                        posIdx: Int, negIdx: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val evaluator = new LangIdMarginEval(model, posIdx, negIdx)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"langid_margin expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(s: Any): Any =
+    evaluator.eval(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdMarginEval", evaluator,
+      classOf[LangIdMarginEval].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.eval($c)")
+  }
+
+  override def prettyName: String = "langid_margin"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Serializable margin wrapper shared by interpreted eval and codegen. */
+final class LangIdMarginEval(model: graft.pipeline.LangId.LangIdModel,
+                             posIdx: Int, negIdx: Int) extends Serializable {
+  def eval(text: UTF8String): Double =
+    model.margin(text.toLowerCase.toString, posIdx, negIdx)
+}

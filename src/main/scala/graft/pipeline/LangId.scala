@@ -59,6 +59,22 @@ object LangId {
       * UTF8String.toLowerCase = Spark's `lower`).
       */
     def score(text: String): (String, Double) = {
+      val ll = logLikelihoods(text)
+      var best = 0
+      var bestR = round6(ll(0))
+      var l = 1
+      while (l < ll.length) {
+        val r = round6(ll(l))
+        if (r > bestR) { best = l; bestR = r } // ties keep the smaller index
+        l += 1
+      }
+      (langs(best), bestR)
+    }
+
+    /** Raw per-class log-likelihoods in `langs` order. `text` must already
+      * be lowercased (the [[score]] contract).
+      */
+    def logLikelihoods(text: String): Array[Double] = {
       val ll = logPrior.clone()
       // code-point gram walk (UTF-16 surrogate pairs stay whole)
       val cps = new Array[Int](text.length + 1)
@@ -77,15 +93,22 @@ object LangId {
         while (l < ll.length) { ll(l) += g(l); l += 1 }
         i += 1
       }
-      var best = 0
-      var bestR = round6(ll(0))
-      var l = 1
-      while (l < ll.length) {
-        val r = round6(ll(l))
-        if (r > bestR) { best = l; bestR = r } // ties keep the smaller index
-        l += 1
-      }
-      (langs(best), bestR)
+      ll
+    }
+
+    /** round6(ll(pos)) - round6(ll(neg)) — the two-class decision margin.
+      * Rounding each class BEFORE subtracting keeps the value reproducible
+      * across engines (the rounded-argmax defense, applied to a margin).
+      */
+    def margin(text: String, posIdx: Int, negIdx: Int): Double = {
+      val ll = logLikelihoods(text)
+      round6(ll(posIdx)) - round6(ll(negIdx))
+    }
+
+    def labelIndex(lang: String): Int = {
+      val i = langs.indexOf(lang)
+      require(i >= 0, s"label '$lang' not in model classes ${langs.mkString(",")}")
+      i
     }
   }
 

@@ -748,6 +748,24 @@ object Drive {
       println(s"IMG_NEARDUP pairs=$pairs (expect contains (1,2); never id 4; " +
         s"dhash(junk)=${graft.pipeline.Multimodal.dHash("junk".getBytes)} expect null)")
     }
+    // round 5 (cont.): model-based quality filter — NB on weak heuristic
+    // labels over real docs; margin filter keeps most, junk scores negative
+    {
+      import graft.pipeline.QualityFilter
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val qm = QualityFilter.train(docs, "text", vocabSize = 512)
+      val kept = QualityFilter.filter(docs, "text", qm).count()
+      // corpus-level separation: weak-hi docs must out-margin weak-lo docs
+      // (an out-of-domain probe sentence would be dominated by unseen-gram
+      // mass — NB margins are only meaningful on the training distribution)
+      val sep = docs.select(QualityFilter.weakLabelCol(col("text")).as("l"),
+          QualityFilter.marginCol(col("text"), qm).as("m"))
+        .filter(col("l").isNotNull)
+        .groupBy("l").agg(avg("m").as("avg_m")).orderBy("l")
+        .collect().map(r => f"${r.getString(0)}=${r.getDouble(1)}%.1f").toSeq
+      println(s"QUALITY_NB kept=$kept of ${docs.count()} avg_margin=$sep " +
+        "(expect avg(hi) > avg(lo))")
+    }
     spark.stop()
   }
 }
