@@ -489,6 +489,35 @@ object SparkEntry {
         graft.pipeline.QualityFilter.keepCol(col("text"), model).as("keep"))
     }),
 
+    // ---- product quantization ADC top-k, gated through the EXACTNESS
+    // anchor: 16 one-dim subspaces over an integer alphabet {0,1,2,3}
+    // (components = md5 bytes mod 4), with four enumeration rows prepended
+    // to the TRAINING frame so Lloyd's first-k init sees the full alphabet
+    // — the codebooks converge to exactly {0,1,2,3}, encode is lossless,
+    // and ADC equals the exact INTEGER dot product (order-independent, so
+    // the DuckDB oracle reproduces every score and rank bit-for-bit).
+    // The lossy production path (recall vs brute force) is PqSpec's job.
+    "q_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+      val h = md5(encode(col("text"), "UTF-8"))
+      val vec = transform(sequence(lit(0), lit(15)),
+        i => (conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("int") % 4).cast("double"))
+      val corpus = d.select(col("doc_id").as("vec_id"), vec.as("embedding"))
+      val enum4 = (0 until 4).map(r => ((r - 4).toLong, Seq.fill(16)(r.toDouble)))
+        .toDF("vec_id", "embedding")
+      val model = graft.pipeline.Pq.train(enum4.union(corpus),
+        "vec_id", "embedding", m = 16, k = 4, sampleSize = 128)
+      val codes = graft.pipeline.Pq.encodeCorpus(corpus, "vec_id", "embedding", model)
+      val queries = Seq(
+        (1000001L, (0 until 16).map(i => ((i * 3 + 1) % 7).toDouble)),
+        (1000002L, (0 until 16).map(i => ((i * 5 + 2) % 6).toDouble)))
+        .toDF("vec_id", "embedding")
+      graft.pipeline.Pq.adcKnn(codes, queries, "vec_id", "embedding", k = 10, model)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
     // the scale path buckets by LSH/IVF first — same scoring expression)
     "q_embed_neardup" -> ((s, dir) => {
@@ -888,6 +917,33 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
         |FROM bv a JOIN bv c
         |  ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id""".stripMargin,
+
+    // PQ ADC at the exactness anchor: codebooks provably equal the integer
+    // alphabet, so encode is lossless and every ADC score is the exact
+    // integer dot — the oracle just computes dots and replays the
+    // (adc DESC, neighbor_id ASC) ranking
+    "q_pq_adc" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CAST(concat('0x', substr(h, CAST(2 * i.i + 1 AS INT), 2)) AS INT) % 4 AS val
+        |  FROM d, (SELECT UNNEST(range(16)) AS i) i),
+        |q AS (
+        |  SELECT 1000001 AS qid, i.i AS i, (i.i * 3 + 1) % 7 AS qv
+        |  FROM (SELECT UNNEST(range(16)) AS i) i
+        |  UNION ALL
+        |  SELECT 1000002 AS qid, i.i AS i, (i.i * 5 + 2) % 6 AS qv
+        |  FROM (SELECT UNNEST(range(16)) AS i) i),
+        |scores AS (
+        |  SELECT q.qid, v.doc_id, CAST(SUM(q.qv * v.val) AS DOUBLE) AS adc
+        |  FROM q JOIN v ON q.i = v.i GROUP BY q.qid, v.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, doc_id ASC) AS rk
+        |  FROM scores)
+        |SELECT CAST(qid AS BIGINT) AS query_id, doc_id AS neighbor_id, adc,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM ranked WHERE rk <= 10""".stripMargin,
 
     // per-segment RMS recomputed sample-by-sample from the same md5 bytes
     // the Spark side packed behind the WAV header (sample i = signed LE

@@ -766,6 +766,29 @@ object Drive {
       println(s"QUALITY_NB kept=$kept of ${docs.count()} avg_margin=$sep " +
         "(expect avg(hi) > avg(lo))")
     }
+    // round 5 (cont.): product quantization — 16x-compressed codes, ADC
+    // kNN recall vs brute force on the real embeddings table
+    {
+      import graft.pipeline.{Pq, Similarity}
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      val pq = Pq.train(e, "vec_id", "embedding", m = 16, k = 64)
+      val codes = Pq.encodeCorpus(e, "vec_id", "embedding", pq).cache()
+      val bytesPerVec = codes.select(length(col("code"))).first().getInt(0)
+      val queries = e.filter(col("vec_id") < 5)
+      val approx = Pq.adcKnn(codes, queries, "vec_id", "embedding", k = 10, pq)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approx & exact).size.toDouble / math.max(exact.size, 1)
+      println(f"PQ dim=$dim raw=${dim * 4}B code=${bytesPerVec}B recall@10=$recall%.2f " +
+        "(expect 16B codes, recall well above chance)")
+      // hostile: empty corpus trains nothing, fails fast
+      val emptyRefused =
+        try { Pq.train(e.limit(0), "vec_id", "embedding", m = 4, k = 4); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"PQ_EMPTY_REFUSED=$emptyRefused (expect true)")
+    }
     spark.stop()
   }
 }
