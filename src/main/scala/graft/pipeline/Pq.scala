@@ -202,4 +202,35 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc", "rank")
   }
+
+  /** ADC shortlist + EXACT cosine re-rank (the standard PQ serving shape:
+    * the compressed scan finds `shortlist` candidates per query, then only
+    * those — queries × shortlist rows, a broadcastable sliver of the
+    * corpus — fetch their raw vectors for exact scoring). Recall approaches
+    * brute force at PQ scan cost; the raw corpus is touched only by an
+    * id-equi-join on the candidate set. Output:
+    * (query_id, neighbor_id, cosine, rank) — [[Similarity.bruteForceKnn]]'s
+    * contract, ties by neighbor id.
+    */
+  def adcKnnRerank(corpusCodes: DataFrame, corpusRaw: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int, model: PqModel,
+                   shortlist: Int = 100, maxQueries: Int = 4096): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val cand = adcKnn(corpusCodes, queries, idCol, vecCol, shortlist, model, maxQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"), Similarity.norm(col(vecCol)).as("__qn")))
+    // candidates are queries*shortlist rows — broadcast THEM into the raw
+    // corpus scan so the big side never shuffles
+    val raw = corpusRaw.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      Similarity.norm(col(vecCol)).as("__cn"))
+    val scored = raw.join(broadcast(cand), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", Similarity.dot(col("__qv"), col("__cv")) /
+        greatest(col("__qn") * col("__cn"), lit(1e-12)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

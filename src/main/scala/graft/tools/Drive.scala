@@ -781,8 +781,11 @@ object Drive {
       val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (approx & exact).size.toDouble / math.max(exact.size, 1)
+      val reranked = Pq.adcKnnRerank(codes, e, queries, "vec_id", "embedding", k = 10, pq)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rr = (reranked & exact).size.toDouble / math.max(exact.size, 1)
       println(f"PQ dim=$dim raw=${dim * 4}B code=${bytesPerVec}B recall@10=$recall%.2f " +
-        "(expect 16B codes, recall well above chance)")
+        f"reranked=$rr%.2f (expect 16B codes, rerank >= plain, both well above chance)")
       // hostile: empty corpus trains nothing, fails fast
       val emptyRefused =
         try { Pq.train(e.limit(0), "vec_id", "embedding", m = 4, k = 4); false }

@@ -82,6 +82,39 @@ class PqSpec extends SparkSpec {
     assert(model.m == 4 && codes.select(length(col("code"))).first().getInt(0) == 4)
   }
 
+  test("ADC shortlist + exact re-rank recovers brute-force recall on hard data") {
+    // UNclustered data (uniform directions) is the hard case: plain ADC
+    // top-k misses neighbors, but an exact re-rank of the ADC shortlist
+    // recovers them — the standard PQ serving shape
+    val dim = 32
+    val rng = new scala.util.Random(29)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val corpus = (0 until 500).map(i => (i.toLong, unit(Array.fill(dim)(rng.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 32)
+    val codes = Pq.encodeCorpus(corpus, "vec_id", "embedding", model).cache()
+    val queries = corpus.filter(col("vec_id") < 3)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val plain = recallOf(Pq.adcKnn(codes, queries, "vec_id", "embedding", k = 10, model))
+    val rerank = recallOf(Pq.adcKnnRerank(codes, corpus, queries,
+      "vec_id", "embedding", k = 10, model, shortlist = 100))
+    info(f"plain ADC recall@10 = $plain%.3f, reranked = $rerank%.3f")
+    assert(rerank >= plain, f"rerank $rerank%.3f below plain $plain%.3f")
+    assert(rerank >= 0.9, f"reranked recall $rerank%.3f below 0.9")
+    // shortlist < k refused
+    intercept[IllegalArgumentException] {
+      Pq.adcKnnRerank(codes, corpus, queries, "vec_id", "embedding",
+        k = 10, model, shortlist = 5)
+    }
+  }
+
   test("degradation and guards: ragged/null vectors, codegen, query bound") {
     val corpus = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i * 0.1))).toDF("vec_id", "embedding")
     val model = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 8)
