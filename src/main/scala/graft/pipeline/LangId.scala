@@ -143,30 +143,40 @@ object LangId {
     val langs = priRows.map(_.getString(0))
     val nDocs = priRows.map(_.getLong(1)).sum
     val logPrior = priRows.map(r => math.log(r.getLong(1).toDouble / nDocs))
-    val grams = d.select(col("lang"), explode(gramsCol(col("t"), n)).as("gram"))
-    // bounded top-V vocabulary: TakeOrdered over the global gram counts
-    // (count desc, gram asc — deterministic under ties)
-    val vocab = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("gram")).limit(vocabSize)
-      .select("gram").collect().map(_.getString(0))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vdf = broadcast(vocab.toSeq.toDF("gram"))
-    // collect is bounded by langs × V (≤ maxLangs × vocabSize by the guards)
-    val cntRows = grams.join(vdf, "gram")
-      .groupBy("lang", "gram").agg(count(lit(1)).as("c")).collect()
-    val li = langs.zipWithIndex.toMap
-    val totals = new Array[Double](langs.length)
-    cntRows.foreach(r => totals(li(r.getString(0))) += r.getLong(2).toDouble)
-    val denom = totals.map(t => t + alpha * (vocab.length + 1))
-    val unseen = denom.map(dn => math.log(alpha / dn))
-    val map = new java.util.HashMap[String, Array[Double]](vocab.length * 2)
-    cntRows.foreach { r =>
-      val l = li(r.getString(0))
-      val arr = map.computeIfAbsent(r.getString(1), _ => unseen.clone())
-      arr(l) = math.log((r.getLong(2) + alpha) / denom(l))
-    }
-    new LangIdModel(langs, logPrior, n, unseen, map)
+    // ONE gram-explode pass: the per-(lang, gram) count aggregate is
+    // map-side combinable and its cardinality is bounded by langs × the
+    // gram alphabet (char n-grams: thousands), so vocab selection and the
+    // in-vocab count join both run over this tiny cached frame instead of
+    // re-exploding the corpus (the second explode was the dominant
+    // training cost at bench scale)
+    val pairCounts = d.select(col("lang"), explode(gramsCol(col("t"), n)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded top-V vocabulary: TakeOrdered over the global gram counts
+      // (count desc, gram asc — deterministic under ties)
+      val vocab = pairCounts.groupBy("gram").agg(sum("c").as("tc"))
+        .orderBy(desc("tc"), asc("gram")).limit(vocabSize)
+        .select("gram").collect().map(_.getString(0))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val vdf = broadcast(vocab.toSeq.toDF("gram"))
+      // collect is bounded by langs × V (≤ maxLangs × vocabSize by the guards)
+      val cntRows = pairCounts.join(vdf, "gram")
+        .select(col("lang"), col("gram"), col("c")).collect()
+      val li = langs.zipWithIndex.toMap
+      val totals = new Array[Double](langs.length)
+      cntRows.foreach(r => totals(li(r.getString(0))) += r.getLong(2).toDouble)
+      val denom = totals.map(t => t + alpha * (vocab.length + 1))
+      val unseen = denom.map(dn => math.log(alpha / dn))
+      val map = new java.util.HashMap[String, Array[Double]](vocab.length * 2)
+      cntRows.foreach { r =>
+        val l = li(r.getString(0))
+        val arr = map.computeIfAbsent(r.getString(1), _ => unseen.clone())
+        arr(l) = math.log((r.getLong(2) + alpha) / denom(l))
+      }
+      new LangIdModel(langs, logPrior, n, unseen, map)
+    } finally pairCounts.unpersist(blocking = false)
   }
 
   /** struct(lang, ll) scoring column through the native codegen'd
