@@ -212,6 +212,24 @@ object SparkEntry {
           round(col("rms").cast("double"), 6).as("rms"))
     }),
 
+    // ---- audio near-dup by 64-bit energy-contour aHash, banded into
+    // 8 x 8-bit buckets (hamming <= 7 by pigeonhole). The 64-sample WAV is
+    // built from eight salted md5 digests; with 65 RMS segments over 64
+    // samples every segment is ONE sample, so each RMS is the EXACT dyadic
+    // |sample| (perfect-square sqrt) and every contour bit, band byte and
+    // pair is integer-reproducible in SQL. Cap-free per the q_lsh_pairs
+    // rule (full-enumeration oracle).
+    "q_audio_neardup" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+      val payload = concat((0 until 8).map(k =>
+        unhex(md5(encode(concat(col("text"), lit(s"~$k")), "UTF-8")))): _*)
+      val media = d.select(col("doc_id").as("media_id"),
+        concat(lit(wavHeader(64)), payload).as("media"))
+      Multimodal.audioNearDupPairs(media, "media_id", "media",
+        bands = 8, maxBucketSize = Int.MaxValue)
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(
@@ -773,11 +791,11 @@ object SparkEntry {
       |  FROM g LEFT JOIN segs sg ON g.doc_id = sg.doc_id
       |  GROUP BY g.doc_id, g.nm)""".stripMargin
 
-  /** 44-byte RIFF/WAVE header for 16 bytes of PCM16 mono data (8 samples
-    * @ 8 kHz) — q_audio_decode prepends it to md5 payload bytes so the
-    * AutoCodec magic dispatch routes the blob to WavCodec.
+  /** 44-byte RIFF/WAVE header for `nSamples` of PCM16 mono @ 8 kHz —
+    * q_audio_decode / q_audio_neardup prepend it to md5 payload bytes so
+    * the AutoCodec magic dispatch routes the blob to WavCodec.
     */
-  private lazy val Wav8Header: Array[Byte] = {
+  private def wavHeader(nSamples: Int): Array[Byte] = {
     val out = new Array[Byte](44)
     def put(s: String, o: Int): Unit = {
       val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, a.length)
@@ -787,12 +805,14 @@ object SparkEntry {
       out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
     }
     def p16(v: Int, o: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
-    put("RIFF", 0); p32(36 + 16, 4); put("WAVE", 8)
+    val dataBytes = 2 * nSamples
+    put("RIFF", 0); p32(36 + dataBytes, 4); put("WAVE", 8)
     put("fmt ", 12); p32(16, 16); p16(1, 20); p16(1, 22); p32(8000, 24)
     p32(16000, 28); p16(2, 32); p16(16, 34)
-    put("data", 36); p32(16, 40)
+    put("data", 36); p32(dataBytes, 40)
     out
   }
+  private lazy val Wav8Header: Array[Byte] = wavHeader(8)
 
   /** DuckDB mirror of `TextOps.qualityScore` over a column named `text`,
     * rounded to 6 — the SINGLE source spliced by the q_text_stats,
@@ -944,6 +964,44 @@ object SparkEntry {
         |SELECT CAST(qid AS BIGINT) AS query_id, doc_id AS neighbor_id, adc,
         |  CAST(rk AS BIGINT) AS rank
         |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    // the energy-contour aHash recomputed sample-by-sample: with 65 RMS
+    // segments over 64 samples each segment is exactly one sample, so
+    // rms(k) = |sample(max(0, k-1))| is an exact dyadic value and bit j
+    // (j>=1) is just |s(j-1)| < |s(j)| (bit 0 compares a segment with
+    // itself and is always 0); bands replay the j//8 / j%8 bit layout
+    "q_audio_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(text || '~0') AS h0, md5(text || '~1') AS h1, md5(text || '~2') AS h2,
+        |    md5(text || '~3') AS h3, md5(text || '~4') AS h4, md5(text || '~5') AS h5,
+        |    md5(text || '~6') AS h6, md5(text || '~7') AS h7
+        |  FROM documents WHERE text IS NOT NULL),
+        |smp AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CAST(concat('0x', substr(
+        |      CASE j.j // 8 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+        |           WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END,
+        |      CAST(4 * (j.j % 8) + 1 AS INT), 2)) AS INT)
+        |    + 256 * CAST(concat('0x', substr(
+        |      CASE j.j // 8 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+        |           WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END,
+        |      CAST(4 * (j.j % 8) + 3 AS INT), 2)) AS INT) AS raw
+        |  FROM d, (SELECT UNNEST(range(64)) AS j) j),
+        |sv AS (SELECT doc_id, j,
+        |    abs((CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) / 32768.0) AS a
+        |  FROM smp),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN j = 0 THEN 0
+        |         WHEN LAG(a) OVER (PARTITION BY doc_id ORDER BY j) < a THEN 1
+        |         ELSE 0 END AS bit
+        |  FROM sv),
+        |bv AS (SELECT doc_id, CAST(j // 8 AS INT) AS band,
+        |    SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << CAST(j % 8 AS INT))) AS val
+        |  FROM bits GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        |FROM bv a JOIN bv c
+        |  ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id""".stripMargin,
 
     // per-segment RMS recomputed sample-by-sample from the same md5 bytes
     // the Spark side packed behind the WAV header (sample i = signed LE

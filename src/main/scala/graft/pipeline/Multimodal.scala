@@ -401,8 +401,17 @@ object Multimodal {
     }
 
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val r = rmsOrNull(bytes, dim)
+      if (r == null) new Array[Float](dim) else r
+    }
+
+    /** Per-segment RMS profile, or null when the payload isn't decodable
+      * PCM16 WAV — the distinction [[Multimodal.aHash]] needs (a corrupt
+      * blob must not share the all-silence fingerprint).
+      */
+    def rmsOrNull(bytes: Array[Byte], dim: Int): Array[Float] = {
       val d = pcm(bytes)
-      if (d == null || d._1.isEmpty) return new Array[Float](dim)
+      if (d == null || d._1.isEmpty) return null
       val (s, _) = d
       val out = new Array[Float](dim)
       var seg = 0
@@ -534,6 +543,54 @@ object Multimodal {
       y += 1
     }
     hash
+  }
+
+  /** 64-bit perceptual audio fingerprint (the dHash idea on the time
+    * axis): the channel-averaged PCM is summarized as `segments`+1 RMS
+    * energies and bit `k` is set iff segment `k` is strictly quieter than
+    * segment `k+1` — an energy-CONTOUR fingerprint, invariant to overall
+    * volume (any monotone amplitude scaling preserves every comparison)
+    * and robust to re-encoding/resampling. Null for anything that isn't
+    * decodable PCM16 WAV (junk must not share the all-silence hash).
+    */
+  def aHash(bytes: Array[Byte], segments: Int = 64): java.lang.Long = {
+    require(segments >= 1 && segments <= 64, "aHash needs 1..64 segments")
+    val rms = WavCodec.rmsOrNull(bytes, segments + 1)
+    if (rms == null) return null
+    var hash = 0L
+    var k = 0
+    while (k < segments) {
+      if (rms(k) < rms(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Append a nullable `ahash` column via the batched per-partition seam. */
+  def withAHash(df: DataFrame, mediaCol: String = "media", batchSize: Int = 256,
+                segments: Int = 64): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = df.schema.add(StructField("ahash", LongType, nullable = true))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(r => Row.fromSeq(r.toSeq :+ aHash(r.getAs[Array[Byte]](mediaIdx), segments)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Audio near-duplicate candidate pairs: energy-contour aHash banded
+    * into `bands` bit ranges (pigeonhole: hamming ≤ bands-1 always
+    * found) — same one-decode-map-stage + one-shuffle +
+    * hub-star-capped shape as [[imageNearDupPairs]]. Non-audio payloads
+    * are skipped (null hash).
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, mediaCol: String = "media",
+                        bands: Int = 8, maxBucketSize: Int = 4096,
+                        batchSize: Int = 256): DataFrame = {
+    val hashed = withAHash(df.select(col(idCol), col(mediaCol)), mediaCol, batchSize)
+      .filter(col("ahash").isNotNull)
+    Dedup.bandedSketchPairs(hashed, idCol, col("ahash"), bits = 64, bands = bands,
+      maxBucketSize = maxBucketSize)
   }
 
   /** Append a nullable `dhash` column via the batched per-partition seam

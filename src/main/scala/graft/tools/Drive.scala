@@ -792,6 +792,35 @@ object Drive {
         catch { case _: IllegalArgumentException => true }
       println(s"PQ_EMPTY_REFUSED=$emptyRefused (expect true)")
     }
+    // round 5 (cont.): audio perceptual near-dup — energy-contour aHash,
+    // volume-invariance, junk skipped
+    {
+      def wavOf(samples: Array[Double]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        def p32(v: Int) = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+        def p16(v: Int) = (0 until 2).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+        out.write("RIFF".getBytes); p32(36 + 2 * samples.length); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); p32(16); p16(1); p16(1); p32(8000); p32(16000); p16(2); p16(16)
+        out.write("data".getBytes); p32(2 * samples.length)
+        samples.foreach(s => p16(math.round(s * 32767).toInt & 0xFFFF))
+        out.toByteArray
+      }
+      val rng = new scala.util.Random(13)
+      val sig = Array.fill(128)((rng.nextInt(33) - 16) / 16.0 * 0.9)
+      val rows = Seq(
+        org.apache.spark.sql.Row(1L, wavOf(sig)),
+        org.apache.spark.sql.Row(2L, wavOf(sig.map(_ * 0.5))), // half volume
+        org.apache.spark.sql.Row(3L, wavOf(Array.fill(128)((rng.nextInt(33) - 16) / 16.0 * 0.9))),
+        org.apache.spark.sql.Row(4L, "not audio".getBytes))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("aid", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val pairs = graft.pipeline.Multimodal.audioNearDupPairs(df, "aid", "media")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"AUDIO_NEARDUP pairs=$pairs (expect contains (1,2) — volume-invariant; never id 4; " +
+        s"ahash(junk)=${graft.pipeline.Multimodal.aHash("junk".getBytes)} expect null)")
+    }
     spark.stop()
   }
 }

@@ -222,6 +222,56 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Multimodal.dHash(asPgm, gridW = 9, gridH = 8) }
   }
 
+  test("aHash: volume-invariant energy contour; audio near-dup pairs complete by pigeonhole") {
+    val rng = new scala.util.Random(31)
+    // samples at multiples of 1/64 so a 0.5x "volume change" stays exact
+    def wavOf(samples: Array[Double]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def p32(v: Int) = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+      def p16(v: Int) = (0 until 2).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+      out.write("RIFF".getBytes); p32(36 + 2 * samples.length); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); p32(16); p16(1); p16(1); p32(8000); p32(16000); p16(2); p16(16)
+      out.write("data".getBytes); p32(2 * samples.length)
+      samples.foreach(s => p16(math.round(s * 32767).toInt & 0xFFFF))
+      out.toByteArray
+    }
+    val base = Array.fill(128)((rng.nextInt(33) - 16) / 16.0 * 0.9)
+    val hb = Multimodal.aHash(wavOf(base))
+    assert(hb != null)
+    // identical bytes -> identical hash; half volume -> IDENTICAL hash
+    // (monotone scaling preserves every energy comparison)
+    assert(Multimodal.aHash(wavOf(base)) == hb)
+    assert(Multimodal.aHash(wavOf(base.map(_ * 0.5))) == hb)
+    // an unrelated signal differs in many bits
+    val other = Array.fill(128)((rng.nextInt(33) - 16) / 16.0 * 0.9)
+    assert(java.lang.Long.bitCount(hb ^ Multimodal.aHash(wavOf(other))) > 8)
+    // non-audio -> null: junk, image bytes, null
+    assert(Multimodal.aHash("not audio".getBytes) == null)
+    assert(Multimodal.aHash(pgm(8, 4)) == null)
+    assert(Multimodal.aHash(null) == null)
+    // pairs: every pair within hamming <= bands-1 found; junk skipped
+    val rows = (0 until 20).flatMap { i =>
+      val s = Array.fill(128)((rng.nextInt(33) - 16) / 16.0 * 0.9)
+      val tweaked = s.clone(); tweaked(17) = -s(17) * 0.5 + 0.05
+      Seq(Row(i.toLong, wavOf(s)), Row(100L + i, wavOf(tweaked)))
+    } :+ Row(999L, "junk".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("aid", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val got = Multimodal.audioNearDupPairs(df, "aid", "media", bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = rows.collect { case r if r.getLong(0) != 999L =>
+      r.getLong(0) -> Multimodal.aHash(r.getAs[Array[Byte]](1)).longValue
+    }
+    val expected = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 7
+    } yield (i1, i2)).toSet
+    assert(expected.subsetOf(got), s"missing ${expected -- got}")
+    assert(got.forall { case (a, b) => a != 999L && b != 999L })
+  }
+
   test("imageNearDupPairs finds every pair within hamming bands-1; skips junk") {
     val w = 24; val h = 12
     val rng = new scala.util.Random(23)
