@@ -203,6 +203,71 @@ object Pq {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** Materialize the IVFADC index (FAISS `IndexIVFPQ`): each vector is
+    * assigned to its nearest coarse centroid (the [[Similarity]] spherical
+    * convention — argmax dot, executor-side via the codegen'd probe
+    * expression) AND compressed to its PQ code, in ONE map stage. At
+    * production scale this is computed once, persisted/written, and served
+    * against for many query batches.
+    */
+  def encodeCorpusIvf(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
+                      cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), Similarity.clusterCol(col(vecCol), cents).as("__cluster"),
+      encodeCol(col(vecCol), model).as("code"))
+
+  /** IVFADC search: probe the `nProbe` coarse clusters nearest each query,
+    * ADC-score ONLY the codes in those clusters — scan cost drops to
+    * ~nProbe/nCentroids of the (already 16×-compressed) corpus per query
+    * batch. Query-side probe sets and LUTs are driver-built for the
+    * bounded query batch and ride one broadcast; the corpus side is ONE
+    * filtered scan of the code table (join on cluster id against the tiny
+    * (query × nProbe)-row broadcast), never a corpus shuffle. With
+    * `nProbe = cents.length` the pruning is a no-op and results are
+    * IDENTICAL to [[adcKnn]] (pinned by PqSpec). Chain with
+    * [[adcKnnRerank]]'s raw-vector join for exact final scores.
+    */
+  def ivfAdcKnn(corpusCodesIvf: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, model: PqModel, cents: Array[Array[Double]],
+                nProbe: Int = 2, maxQueries: Int = 4096): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.length, s"nProbe must be in [1, ${cents.length}]")
+    val qRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(qRows.length <= maxQueries,
+      s"${qRows.length} queries exceeds maxQueries=$maxQueries")
+    val luts = new java.util.HashMap[Long, Array[Array[Double]]](qRows.length * 2)
+    val probes = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      luts.put(qid, model.lut(q))
+      // same spherical convention as clusterCol: maximize dot(q, c); ties
+      // keep the lower centroid index (stable sort on (-dot, idx))
+      val scored = cents.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < q.length) { d += q(i) * cents(c)(i); i += 1 }
+        (-d, c)
+      }.sorted.take(nProbe).map(_._2)
+      qid -> scored
+    }
+    val spark = corpusCodesIvf.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(probes.toSeq.flatMap { case (qid, cls) =>
+      cls.map(c => (qid, c))
+    }.toDF("query_id", "__cluster"))
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val scored = corpusCodesIvf.select(col(idCol).as("neighbor_id"),
+        col("__cluster"), col("code"))
+      .join(qdf, Seq("__cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", bridge.column(graft.functions.PqAdc(
+        bridge.expression(col("code")), bridge.expression(col("query_id")), model.m, luts)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
   /** ADC shortlist + EXACT cosine re-rank (the standard PQ serving shape:
     * the compressed scan finds `shortlist` candidates per query, then only
     * those — queries × shortlist rows, a broadcastable sliver of the

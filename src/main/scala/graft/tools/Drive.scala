@@ -791,6 +791,23 @@ object Drive {
         try { Pq.train(e.limit(0), "vec_id", "embedding", m = 4, k = 4); false }
         catch { case _: IllegalArgumentException => true }
       println(s"PQ_EMPTY_REFUSED=$emptyRefused (expect true)")
+      // IVFADC: coarse pruning over the compressed codes; full probe must
+      // reproduce the flat ADC ranking exactly
+      val cents = Similarity.trainCentroidsFromSample(
+        Similarity.sampleByKey(e, "vec_id", "embedding", 256), 16)
+      val ivfCodes = Pq.encodeCorpusIvf(e, "vec_id", "embedding", pq, cents).cache()
+      val flat = Pq.adcKnn(ivfCodes.select(col("vec_id"), col("code")), queries,
+        "vec_id", "embedding", k = 10, pq)
+        .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val full = Pq.ivfAdcKnn(ivfCodes, queries, "vec_id", "embedding", k = 10, pq,
+        cents, nProbe = cents.length)
+        .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val pruned = Pq.ivfAdcKnn(ivfCodes, queries, "vec_id", "embedding", k = 10, pq,
+        cents, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prunedRecall = (pruned & flat.toSet).size.toDouble / flat.size
+      println(f"IVFADC full_eq_flat=${full == flat} pruned_recall_vs_flat=$prunedRecall%.2f " +
+        "(expect true; pruned well above chance at 1/4 the scan)")
     }
     // round 5 (cont.): audio perceptual near-dup — energy-contour aHash,
     // volume-invariance, junk skipped

@@ -115,6 +115,49 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: full probe identical to flat ADC; pruned probe keeps recall at a fraction of the scan") {
+    val dim = 16
+    val rng = new scala.util.Random(41)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    // 48 clusters x 10 members: exact top-9 = the cluster mates, so recall
+    // is decided by probing the right coarse cluster, not by within-cluster
+    // ADC resolution (which the re-rank test covers)
+    val centers = Array.fill(48)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 480).map { i =>
+      val c = centers(i % 48)
+      (i.toLong, unit(c.map(x => x + rng.nextGaussian() * 0.05)))
+    }.toDF("vec_id", "embedding")
+    val model = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 64)
+    val cents = Similarity.trainCentroidsFromSample(
+      Similarity.sampleByKey(corpus, "vec_id", "embedding", 480), 48)
+    val ivfCodes = Pq.encodeCorpusIvf(corpus, "vec_id", "embedding", model, cents).cache()
+    val queries = corpus.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // full probe == flat ADC, bit for bit (pruning is a no-op at nProbe=all)
+    val flat = rows(Pq.adcKnn(ivfCodes.select(col("vec_id"), col("code")),
+      queries, "vec_id", "embedding", k = 9, model))
+    val full = rows(Pq.ivfAdcKnn(ivfCodes, queries, "vec_id", "embedding",
+      k = 9, model, cents, nProbe = cents.length))
+    assert(full == flat)
+    // pruned probe: high recall vs exact brute force
+    val pruned = Pq.ivfAdcKnn(ivfCodes, queries, "vec_id", "embedding",
+      k = 9, model, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pruned & exact).size.toDouble / exact.size
+    info(f"IVFADC nProbe=2 recall@9 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
+    // nProbe out of range refused
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcKnn(ivfCodes, queries, "vec_id", "embedding", k = 9, model, cents, nProbe = 99)
+    }
+  }
+
   test("degradation and guards: ragged/null vectors, codegen, query bound") {
     val corpus = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i * 0.1))).toDF("vec_id", "embedding")
     val model = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 8)
