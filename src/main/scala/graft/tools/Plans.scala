@@ -132,6 +132,42 @@ object Plans {
           docs.where(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text"))
     }
 
+    section("round-5 operators — exchange census") {
+      import graft.pipeline.{Multimodal, Pq, QualityFilter, Similarity}
+      def census(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        val nExch = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).size
+        val nSort = "\\+- Sort ".r.findAllIn(plan).size
+        println(s"$tag: EXCHANGES=$nExch BROADCASTS=$nBcast SORTS=$nSort")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val header = lit("P5\n12 6\n255\n".getBytes("US-ASCII"))
+      val payload = concat((0 until 5).map(k =>
+        unhex(md5(encode(concat(col("text"), lit(s"#$k")), "UTF-8")))): _*)
+      val media = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          concat(header, substring(payload, 1, 72)).as("media"))
+      census("image_neardup (raw 3 = banded window exch printed per small/mega branch — ReuseExchange dedupes at runtime — + pair-distinct; true topology 2 shuffles)",
+        Multimodal.imageNearDupPairs(media, "media_id", "media"))
+      census("audio_neardup, same banded core (non-audio skipped pre-shuffle)",
+        Multimodal.audioNearDupPairs(media, "media_id", "media"))
+      val qm = QualityFilter.train(docs, "text", vocabSize = 64)
+      census("quality_margin scoring (0 exch: ONE codegen'd map stage)",
+        docs.select(QualityFilter.marginCol(col("text"), qm).as("m")))
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val pq = Pq.train(e, "vec_id", "embedding", m = 16, k = 16)
+      val codes = Pq.encodeCorpus(e, "vec_id", "embedding", pq)
+      census("pq_encode (0 exch: codegen'd map)", codes)
+      census("pq_adc_knn (1 bcast queries + 1 exch top-k window)",
+        Pq.adcKnn(codes, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, pq))
+      val cents = Similarity.trainCentroidsFromSample(
+        Similarity.sampleByKey(e, "vec_id", "embedding", 64), 8)
+      census("ivf_adc_knn (1 bcast probe-pairs + 1 exch top-k window)",
+        Pq.ivfAdcKnn(Pq.encodeCorpusIvf(e, "vec_id", "embedding", pq, cents),
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, pq, cents, nProbe = 2))
+    }
+
     spark.stop()
   }
 }

@@ -74,6 +74,28 @@ class QualityFilterSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("streaming scoring matches batch exactly (train offline, filter the stream)") {
+    // the production shape: the NB model is trained on a batch corpus,
+    // then applied to a readStream as a stateless codegen'd map — margins
+    // must be bit-identical to the batch run over the same rows
+    val model = QualityFilter.train(corpus, "text", vocabSize = 512)
+    val docs = (fluent.take(5) ++ junk.take(5)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = docs.select(col("doc_id"),
+        QualityFilter.marginCol(col("text"), model).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qf_stream").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+      .select(col("doc_id"), QualityFilter.marginCol(col("text"), model).as("m"))
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("qf").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, m FROM qf").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("degenerate one-class corpus fails fast; unknown label index refused") {
     val allJunk = junk.toDF("text")
     intercept[IllegalArgumentException] { QualityFilter.train(allJunk, "text") }
