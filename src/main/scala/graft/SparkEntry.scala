@@ -507,6 +507,20 @@ object SparkEntry {
         graft.pipeline.QualityFilter.keepCol(col("text"), model).as("keep"))
     }),
 
+    // ---- composed NB curation: model-based quality gate (NB margin >= 0)
+    // -> fuzzy dedup over the kept subset -> canonical survivors. Every
+    // stage is the public operator; the oracle replays the WHOLE chain
+    // (quality-NB CTEs gate the corpus, the banded-minhash + recursive-CTE
+    // fixpoint dedups the kept set).
+    "q_curate_nb" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.pipeline.QualityFilter.train(d, "text", vocabSize = 512)
+      val kept = graft.pipeline.QualityFilter.filter(d, "text", model)
+      graft.pipeline.Dedup.fuzzyDedup(kept, "doc_id", "text", numHashes = 8, bands = 4)
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("dup_count"))
+    }),
+
     // ---- product quantization ADC top-k, gated through the EXACTNESS
     // anchor: 16 one-dim subspaces over an integer alphabet {0,1,2,3}
     // (components = md5 bytes mod 4), with four enumeration rows prepended
@@ -813,6 +827,93 @@ object SparkEntry {
     out
   }
   private lazy val Wav8Header: Array[Byte] = wavHeader(8)
+
+  /** Quality-NB margin CTE chain (d0 .. m) over the `documents` table —
+    * the SINGLE source spliced by q_quality_nb and the composed
+    * q_curate_nb (train on weak labels, score every doc, margin =
+    * per-class ROUND(ll, 6) then subtraction).
+    */
+  private lazy val QualityMarginCtes: String =
+    """d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+      |lab AS (
+      |  SELECT d0.doc_id, d0.t,
+      |    CASE WHEN """.stripMargin + QualityScoreSql + """ >= 0.5
+      |         THEN 'hi' ELSE 'lo' END AS lang
+      |  FROM d0 WHERE d0.text IS NOT NULL),
+      |g0 AS (SELECT lang, t, UNNEST(range(1, len(t))) AS i FROM lab),
+      |gx AS (SELECT lang, substr(t, i, 2) AS gram FROM g0),
+      |voc AS (SELECT gram, COUNT(*) AS vc FROM gx GROUP BY gram
+      |        ORDER BY vc DESC, gram LIMIT 512),
+      |cnt AS (SELECT gx.lang, gx.gram, COUNT(*) AS c
+      |        FROM gx JOIN voc ON voc.gram = gx.gram GROUP BY gx.lang, gx.gram),
+      |tl AS (SELECT lang, SUM(c) AS tt FROM cnt GROUP BY lang),
+      |pri AS (SELECT lang, COUNT(*) AS nd FROM lab GROUP BY lang),
+      |tot AS (SELECT COUNT(*) AS n FROM lab),
+      |vn AS (SELECT COUNT(*) AS v FROM voc),
+      |dg AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM d0 WHERE t IS NOT NULL),
+      |dgx AS (SELECT doc_id, substr(t, i, 2) AS gram FROM dg),
+      |scores AS (
+      |  SELECT d0.doc_id, pri.lang,
+      |    ln(CAST(pri.nd AS DOUBLE) / (SELECT n FROM tot)) + COALESCE(SUM(
+      |      CASE WHEN dgx.gram IS NULL THEN NULL
+      |           ELSE ln((COALESCE(c2.c, 0) + 0.5) /
+      |                   (COALESCE(tl.tt, 0) + 0.5 * ((SELECT v FROM vn) + 1)))
+      |      END), 0.0) AS ll
+      |  FROM d0 CROSS JOIN pri
+      |  LEFT JOIN tl ON tl.lang = pri.lang
+      |  LEFT JOIN dgx ON dgx.doc_id = d0.doc_id
+      |  LEFT JOIN cnt c2 ON c2.lang = pri.lang AND c2.gram = dgx.gram
+      |  WHERE d0.text IS NOT NULL
+      |  GROUP BY d0.doc_id, pri.lang, pri.nd, tl.tt),
+      |m AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN lang = 'hi' THEN ROUND(ll, 6) END)
+      |      - MAX(CASE WHEN lang = 'lo' THEN ROUND(ll, 6) END) AS margin
+      |  FROM scores GROUP BY doc_id)""".stripMargin
+
+  /** MinHash-LSH fuzzy-dedup CTE chain (grams .. siz) over `src` —
+    * q_fuzzy_dedup runs it on `documents`, q_curate_nb on the NB-kept
+    * subset. Caller supplies `WITH RECURSIVE` and the final SELECT.
+    */
+  private def fuzzyDedupCtes(src: String): String = {
+    import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
+    val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
+    s"""grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+       |    i -> concat_ws(' ',
+       |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+       |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
+       |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
+       |  FROM ${src}),
+       |bases AS (
+       |  SELECT doc_id, list_transform(g, s ->
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
+       |  FROM grams),
+       |consts(i, a, b, c) AS (VALUES ${consts}),
+       |sig AS (
+       |  SELECT doc_id, consts.i AS hash_idx,
+       |    list_aggregate(list_transform(bh, h ->
+       |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
+       |  FROM bases, consts),
+       |banded AS (
+       |  SELECT doc_id, hash_idx // 2 AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+       |  FROM sig GROUP BY doc_id, hash_idx // 2),
+       |pairsq AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairsq
+       |  UNION ALL SELECT id2, id1 FROM pairsq),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM ${src}
+       |  UNION
+       |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id)
+       |, comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+       |siz AS (SELECT component, COUNT(*) AS dup_count FROM comp GROUP BY component)""".stripMargin
+  }
 
   /** DuckDB mirror of `TextOps.qualityScore` over a column named `text`,
     * rounded to 6 — the SINGLE source spliced by the q_text_stats,
@@ -1262,47 +1363,10 @@ object SparkEntry {
 
     // the composed front door: same banded-pairs + recursive-CTE fixpoint,
     // extended with the per-component size and canonical verdict
-    "q_fuzzy_dedup" -> {
-      import graft.pipeline.Dedup.{MinhashMod, hashA, hashB, hashC}
-      val consts = (0 until 8).map(i => s"(${i}, ${hashA(i)}, ${hashB(i)}, ${hashC(i)})").mkString(", ")
-      s"""WITH RECURSIVE grams AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
-         |    i -> concat_ws(' ',
-         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
-         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+2],
-         |      regexp_split_to_array(trim(lower(text)), '\\s+')[i+3]))) AS g
-         |  FROM documents),
-         |bases AS (
-         |  SELECT doc_id, list_transform(g, s ->
-         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${MinhashMod}) AS bh
-         |  FROM grams),
-         |consts(i, a, b, c) AS (VALUES ${consts}),
-         |sig AS (
-         |  SELECT doc_id, consts.i AS hash_idx,
-         |    list_aggregate(list_transform(bh, h ->
-         |      (consts.a * (h >> 31) + consts.b * (h & 2147483647) + consts.c) % ${MinhashMod}), 'min') AS mh
-         |  FROM bases, consts),
-         |banded AS (
-         |  SELECT doc_id, hash_idx // 2 AS band,
-         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
-         |  FROM sig GROUP BY doc_id, hash_idx // 2),
-         |pairsq AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairsq
-         |  UNION ALL SELECT id2, id1 FROM pairsq),
-         |reach(id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id)
-         |, comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
-         |siz AS (SELECT component, COUNT(*) AS dup_count FROM comp GROUP BY component)
-         |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.dup_count
-         |FROM comp c JOIN siz s ON s.component = c.component""".stripMargin
-    },
+    "q_fuzzy_dedup" ->
+      ("WITH RECURSIVE " + fuzzyDedupCtes("documents") + """
+        |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.dup_count
+        |FROM comp c JOIN siz s ON s.component = c.component""".stripMargin),
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -1379,46 +1443,26 @@ object SparkEntry {
     // the heuristic quality score, same vocab/smoothing CTEs as
     // q_langid_nb, margin = per-class rounding THEN subtraction
     "q_quality_nb" ->
-      ("""WITH d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
-        |lab AS (
-        |  SELECT d0.doc_id, d0.t,
-        |    CASE WHEN """.stripMargin + QualityScoreSql + """ >= 0.5
-        |         THEN 'hi' ELSE 'lo' END AS lang
-        |  FROM d0 WHERE d0.text IS NOT NULL),
-        |g0 AS (SELECT lang, t, UNNEST(range(1, len(t))) AS i FROM lab),
-        |gx AS (SELECT lang, substr(t, i, 2) AS gram FROM g0),
-        |voc AS (SELECT gram, COUNT(*) AS vc FROM gx GROUP BY gram
-        |        ORDER BY vc DESC, gram LIMIT 512),
-        |cnt AS (SELECT gx.lang, gx.gram, COUNT(*) AS c
-        |        FROM gx JOIN voc ON voc.gram = gx.gram GROUP BY gx.lang, gx.gram),
-        |tl AS (SELECT lang, SUM(c) AS tt FROM cnt GROUP BY lang),
-        |pri AS (SELECT lang, COUNT(*) AS nd FROM lab GROUP BY lang),
-        |tot AS (SELECT COUNT(*) AS n FROM lab),
-        |vn AS (SELECT COUNT(*) AS v FROM voc),
-        |dg AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM d0 WHERE t IS NOT NULL),
-        |dgx AS (SELECT doc_id, substr(t, i, 2) AS gram FROM dg),
-        |scores AS (
-        |  SELECT d0.doc_id, pri.lang,
-        |    ln(CAST(pri.nd AS DOUBLE) / (SELECT n FROM tot)) + COALESCE(SUM(
-        |      CASE WHEN dgx.gram IS NULL THEN NULL
-        |           ELSE ln((COALESCE(c2.c, 0) + 0.5) /
-        |                   (COALESCE(tl.tt, 0) + 0.5 * ((SELECT v FROM vn) + 1)))
-        |      END), 0.0) AS ll
-        |  FROM d0 CROSS JOIN pri
-        |  LEFT JOIN tl ON tl.lang = pri.lang
-        |  LEFT JOIN dgx ON dgx.doc_id = d0.doc_id
-        |  LEFT JOIN cnt c2 ON c2.lang = pri.lang AND c2.gram = dgx.gram
-        |  WHERE d0.text IS NOT NULL
-        |  GROUP BY d0.doc_id, pri.lang, pri.nd, tl.tt),
-        |m AS (
-        |  SELECT doc_id,
-        |    MAX(CASE WHEN lang = 'hi' THEN ROUND(ll, 6) END)
-        |      - MAX(CASE WHEN lang = 'lo' THEN ROUND(ll, 6) END) AS margin
-        |  FROM scores GROUP BY doc_id)
+      ("WITH " + QualityMarginCtes + """
         |SELECT d.doc_id,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin END AS margin,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin >= 0.0 END AS keep
         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin),
+
+    // composed NB curation replayed end to end: the quality-NB margin CTEs
+    // gate the corpus, then the fuzzy-dedup chain (banded minhash pairs +
+    // recursive-CTE fixpoint) runs over the KEPT subset; output = canonical
+    // survivors with their duplicate-group sizes
+    "q_curate_nb" ->
+      ("WITH RECURSIVE " + QualityMarginCtes + """,
+        |kept AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN m ON m.doc_id = d.doc_id
+        |  WHERE d.text IS NOT NULL AND m.margin >= 0.0),
+        |""".stripMargin + fuzzyDedupCtes("kept") + """
+        |SELECT c.doc_id, s.dup_count
+        |FROM comp c JOIN siz s ON s.component = c.component
+        |WHERE c.doc_id = c.component""".stripMargin),
 
     // the packing recomputed as pure window arithmetic: global token
     // position within the shard, divided into seqLen sequences
