@@ -550,6 +550,36 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ---- IVFADC at the same exactness anchor: coarse clustering + PQ
+    // codes materialized in one pass, searched at FULL probe — pruning is
+    // then a no-op, so the output equals flat ADC (= the exact integer
+    // dots) and the q_pq_adc oracle gates the whole IVFADC plumbing
+    // (cluster assignment, probe-set broadcast, within-cluster ADC). The
+    // pruned production path is PqSpec/Drive's job (recall gates).
+    "q_ivfadc" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+      val h = md5(encode(col("text"), "UTF-8"))
+      val vec = transform(sequence(lit(0), lit(15)),
+        i => (conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("int") % 4).cast("double"))
+      val corpus = d.select(col("doc_id").as("vec_id"), vec.as("embedding"))
+      val enum4 = (0 until 4).map(r => ((r - 4).toLong, Seq.fill(16)(r.toDouble)))
+        .toDF("vec_id", "embedding")
+      val model = graft.pipeline.Pq.train(enum4.union(corpus),
+        "vec_id", "embedding", m = 16, k = 4, sampleSize = 128)
+      val cents = graft.pipeline.Similarity.trainCentroidsFromSample(
+        graft.pipeline.Similarity.sampleByKey(corpus, "vec_id", "embedding", 64), 8)
+      val codes = graft.pipeline.Pq.encodeCorpusIvf(corpus, "vec_id", "embedding", model, cents)
+      val queries = Seq(
+        (1000001L, (0 until 16).map(i => ((i * 3 + 1) % 7).toDouble)),
+        (1000002L, (0 until 16).map(i => ((i * 5 + 2) % 6).toDouble)))
+        .toDF("vec_id", "embedding")
+      graft.pipeline.Pq.ivfAdcKnn(codes, queries, "vec_id", "embedding", k = 10, model,
+        cents, nProbe = cents.length)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- embedding-cosine near-duplicate pairs (brute over a bounded slice;
     // the scale path buckets by LSH/IVF first — same scoring expression)
     "q_embed_neardup" -> ((s, dir) => {
@@ -828,6 +858,32 @@ object SparkEntry {
   }
   private lazy val Wav8Header: Array[Byte] = wavHeader(8)
 
+  /** PQ ADC exactness-anchor oracle — shared verbatim by q_pq_adc and
+    * q_ivfadc (full-probe IVFADC output equals flat ADC by construction).
+    */
+  private lazy val PqAdcOracleSql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CAST(concat('0x', substr(h, CAST(2 * i.i + 1 AS INT), 2)) AS INT) % 4 AS val
+        |  FROM d, (SELECT UNNEST(range(16)) AS i) i),
+        |q AS (
+        |  SELECT 1000001 AS qid, i.i AS i, (i.i * 3 + 1) % 7 AS qv
+        |  FROM (SELECT UNNEST(range(16)) AS i) i
+        |  UNION ALL
+        |  SELECT 1000002 AS qid, i.i AS i, (i.i * 5 + 2) % 6 AS qv
+        |  FROM (SELECT UNNEST(range(16)) AS i) i),
+        |scores AS (
+        |  SELECT q.qid, v.doc_id, CAST(SUM(q.qv * v.val) AS DOUBLE) AS adc
+        |  FROM q JOIN v ON q.i = v.i GROUP BY q.qid, v.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, doc_id ASC) AS rk
+        |  FROM scores)
+        |SELECT CAST(qid AS BIGINT) AS query_id, doc_id AS neighbor_id, adc,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM ranked WHERE rk <= 10""".stripMargin
+
   /** Quality-NB margin CTE chain (d0 .. m) over the `documents` table —
     * the SINGLE source spliced by q_quality_nb and the composed
     * q_curate_nb (train on weak labels, score every doc, margin =
@@ -1043,28 +1099,12 @@ object SparkEntry {
     // alphabet, so encode is lossless and every ADC score is the exact
     // integer dot — the oracle just computes dots and replays the
     // (adc DESC, neighbor_id ASC) ranking
-    "q_pq_adc" ->
-      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
-        |v AS (
-        |  SELECT doc_id, i.i AS i,
-        |    CAST(concat('0x', substr(h, CAST(2 * i.i + 1 AS INT), 2)) AS INT) % 4 AS val
-        |  FROM d, (SELECT UNNEST(range(16)) AS i) i),
-        |q AS (
-        |  SELECT 1000001 AS qid, i.i AS i, (i.i * 3 + 1) % 7 AS qv
-        |  FROM (SELECT UNNEST(range(16)) AS i) i
-        |  UNION ALL
-        |  SELECT 1000002 AS qid, i.i AS i, (i.i * 5 + 2) % 6 AS qv
-        |  FROM (SELECT UNNEST(range(16)) AS i) i),
-        |scores AS (
-        |  SELECT q.qid, v.doc_id, CAST(SUM(q.qv * v.val) AS DOUBLE) AS adc
-        |  FROM q JOIN v ON q.i = v.i GROUP BY q.qid, v.doc_id),
-        |ranked AS (
-        |  SELECT qid, doc_id, adc,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, doc_id ASC) AS rk
-        |  FROM scores)
-        |SELECT CAST(qid AS BIGINT) AS query_id, doc_id AS neighbor_id, adc,
-        |  CAST(rk AS BIGINT) AS rank
-        |FROM ranked WHERE rk <= 10""".stripMargin,
+    "q_pq_adc" -> PqAdcOracleSql,
+
+    // IVFADC at full probe is flat ADC is the exact integer dots — the
+    // oracle is IDENTICAL by construction (pruning with nProbe =
+    // nCentroids is a no-op, pinned by PqSpec's bit-parity test)
+    "q_ivfadc" -> PqAdcOracleSql,
 
     // the energy-contour aHash recomputed sample-by-sample: with 65 RMS
     // segments over 64 samples each segment is exactly one sample, so
