@@ -252,6 +252,16 @@ object SparkEntry {
         round(graft.pipeline.TextOps.topWordRatio(col("text")), 6).as("top_word_ratio"))
     }),
 
+    // ---- exact top-25% quality gate: distributed prefix-rank on the
+    // rounded quality score (desc, doc_id ties) — keep k = ceil(0.25 n)
+    "q_top_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = d.select(col("doc_id"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("quality"))
+      graft.pipeline.Sampling.topFractionByScore(scored, "doc_id", "quality", 0.25)
+        .select(col("doc_id"), col("quality"), col("score_rank"))
+    }),
+
     // ---- exact dedup by normalized-text fingerprint (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1199,6 +1209,17 @@ object SparkEntry {
         |           w -> len(list_filter(toks, x -> x = w)))) * 1.0 / len(toks) END, 6)
         |    AS top_word_ratio
         |FROM t""".stripMargin,
+
+    // exact top-25% gate: rank on the ROUNDED quality (desc, doc_id ties) —
+    // identical rounded doubles both engines (the q_text_stats hash proves
+    // it), NULL scores excluded on both sides (oracle null parity)
+    "q_top_quality" ->
+      ("""WITH scored AS (SELECT doc_id, """ + QualityScoreSql + """ AS quality FROM documents),
+        |nn AS (SELECT doc_id, quality FROM scored WHERE quality IS NOT NULL),
+        |ranked AS (SELECT doc_id, quality,
+        |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS score_rank FROM nn)
+        |SELECT doc_id, quality, score_rank FROM ranked
+        |WHERE score_rank <= CAST(CEIL(0.25 * (SELECT COUNT(*) FROM nn)) AS BIGINT)""".stripMargin),
 
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents),

@@ -141,4 +141,94 @@ object Sampling {
         df(idCol).cast("long") === col("__jid") && df(sourceCol) === col("__jsrc"))
       .drop("__jid", "__jsrc", "__b")
   }
+
+  /** Keep exactly the best `fraction` of the corpus by a score column —
+    * the FineWeb-style "keep the top p% by model/heuristic quality score"
+    * curation stage, computed EXACTLY: rows are ranked by
+    * (score DESC, id ASC) and the k = ceil(fraction · n) best survive
+    * (n = rows with a non-NULL score; NULL-score rows are dropped — they
+    * cannot be ordered; mirror any oracle accordingly). Output = the input
+    * columns plus `rankCol` (1-based global rank), so the gate is
+    * auditable. `idCol` must cast to long and be unique (the
+    * [[tokenBudgetMix]] / Pack contract).
+    *
+    * Scale shape — the [[tokenBudgetMix]] distributed prefix-rank, not a
+    * global window (one task sorting the corpus) and not an
+    * `orderBy.limit(k)` (a single-task top-k at k ≈ n/4): ONE range
+    * shuffle on (score desc, id) spreads the global order across
+    * partitions, per-partition counts (an nParts-row collect) become
+    * broadcast rank offsets, and a second linear pass emits exact global
+    * ranks. The ranged frame is lazily localCheckpoint'd so both passes
+    * and every downstream re-materialization replay the SAME stored
+    * partitions (a re-executed range shuffle resamples boundaries and
+    * would silently corrupt the offsets), and partition ids are frozen
+    * INTO the rows so a downstream coalesce cannot misapply them.
+    *
+    * Cross-engine determinism: rank on a ROUNDED score (the repo's
+    * cross-engine ranking rule — raw-double order can flip on ulp noise
+    * between engines); `TextOps.qualityScore` already rounds to 6.
+    */
+  def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
+                         fraction: Double, rankCol: String = "score_rank"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    rankGate(df, idCol, scoreCol, n => math.ceil(fraction * n).toLong, rankCol)
+  }
+
+  /** [[topFractionByScore]] with an absolute count: keep the k best rows
+    * by (score DESC, id ASC). Same scale shape and NULL semantics.
+    */
+  def topKByScore(df: DataFrame, idCol: String, scoreCol: String,
+                  k: Long, rankCol: String = "score_rank"): DataFrame = {
+    require(k >= 0L, s"k must be >= 0, got $k")
+    rankGate(df, idCol, scoreCol, _ => k, rankCol)
+  }
+
+  private def rankGate(df: DataFrame, idCol: String, scoreCol: String,
+                       kOf: Long => Long, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // pids are frozen INTO the checkpointed rows (the tokenBudgetMix
+    // coalesce hazard): the tag lambda runs during checkpoint
+    // materialization, whose stage partitions ARE the range partitions.
+    val ranged = base
+      .repartitionByRange(nParts, col("__s").desc, col("__id").asc)
+      .sortWithinPartitions(col("__s").desc, col("__id").asc)
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, _) => (pid, id) }
+      }
+      .localCheckpoint(false)
+    // pass 1: per-partition row counts — an nParts-row driver collect
+    val partStats = ranged.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      it.foreach { case (pid, _) => m(pid) = m.getOrElse(pid, 0L) + 1 }
+      m.iterator
+    }.collect()
+    val counts: Seq[(Int, Long)] = partStats.groupBy(_._1)
+      .map { case (pid, xs) => (pid, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val k = kOf(n)
+    val offsets: Map[Int, Long] = counts.map { case (pid, _) =>
+      pid -> counts.filter(_._1 < pid).map(_._2).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: linear per-partition scan adding the broadcast offsets —
+    // exact global ranks with no corpus-wide sort in one task. Local
+    // counters are keyed by the FROZEN pid: correct even when a coalesced
+    // task replays several stored partitions.
+    val ranked = ranged.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap[Int, Long]()
+      it.map { case (pid, id) =>
+        val c = local.getOrElse(pid, 0L) + 1
+        local(pid) = c
+        (id, bc.value.getOrElse(pid, 0L) + c)
+      }
+    }.toDF("__jid", rankCol)
+      .where(col(rankCol) <= k)
+    df.join(ranked, df(idCol).cast("long") === col("__jid")).drop("__jid")
+  }
 }

@@ -482,6 +482,23 @@ object Drive {
       val mix = Sampling.tokenBudgetMix(docs, "doc_id", "tok", "source",
         Map("src0" -> 300L, "src1" -> 100L), seed = 2)
       mix.groupBy("source").agg(max("cum_tokens"), count(lit(1))).show()
+      // exact top-p% quality gate: rank set matches the window formulation,
+      // survives a downstream coalesce; hostile: empty corpus, all-null scores
+      val scored = docs.select(col("doc_id"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("q"))
+      val topq = Sampling.topFractionByScore(scored, "doc_id", "q", 0.2)
+      val nScored = scored.where(col("q").isNotNull).count()
+      val wRef = scored.where(col("q").isNotNull)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+        .filter(col("r") <= math.ceil(0.2 * nScored).toLong)
+        .select("doc_id", "r").as[(Long, Long)].collect().toSet
+      val gotTq = topq.select("doc_id", "score_rank").as[(Long, Long)].collect().toSet
+      val gotTqC = topq.coalesce(1).select("doc_id", "score_rank").as[(Long, Long)].collect().toSet
+      println(s"TOPQ n=${gotTq.size} of $nScored window_parity=${gotTq == wRef} coalesce_parity=${gotTqC == wRef}")
+      println("TOPQ_EMPTY=" + Sampling.topFractionByScore(scored.limit(0), "doc_id", "q", 0.5).count() +
+        " ALLNULL=" + Sampling.topFractionByScore(
+          scored.withColumn("q", lit(null).cast("double")), "doc_id", "q", 0.5).count())
       val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val flags = Contamination.flagContaminated(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         bench, "doc_id", "text", n = 3, minOverlap = 3)

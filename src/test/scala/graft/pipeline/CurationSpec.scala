@@ -181,6 +181,53 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), s"expected checkpointed-RDD scan in:\n$plan")
   }
 
+  // ---- topFractionByScore / topKByScore ----------------------------------
+
+  test("topFractionByScore: exact ceil(p*n) rows, window parity with score ties, nulls dropped") {
+    // heavy ties: only 7 distinct scores over 200 rows, plus 10 null-score
+    // rows that must not count toward n or survive
+    val df = ((0L until 200L).map(i => (i, Some((i % 7) * 0.5))) ++
+        (200L until 210L).map(i => (i, Option.empty[Double])))
+      .toDF("doc_id", "score")
+    val got = Sampling.topFractionByScore(df, "doc_id", "score", 0.3)
+      .select("doc_id", "score", "score_rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.size === 60)                    // ceil(0.3 * 200)
+    // reference: the straight global-window formulation
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
+    val ref = df.where(col("score").isNotNull)
+      .withColumn("score_rank", row_number().over(w).cast("long"))
+      .where(col("score_rank") <= 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.toSet === ref.toSet)
+    // determinism + the coalesce regression (Verify writes coalesce(1)):
+    // frozen pids must keep offsets right under a narrow repartitioning
+    val coalesced = Sampling.topFractionByScore(df, "doc_id", "score", 0.3)
+      .coalesce(1).select("doc_id", "score", "score_rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(coalesced === ref.toSet)
+    // fraction edges
+    assert(Sampling.topFractionByScore(df, "doc_id", "score", 1.0).count() === 200)
+    assert(Sampling.topFractionByScore(df, "doc_id", "score", 0.0).count() === 0)
+  }
+
+  test("topKByScore: absolute k, clamps past n; plan is window-free") {
+    val df = (0L until 50L).map(i => (i, (i * 37 % 50) / 10.0)).toDF("doc_id", "score")
+    val top5 = Sampling.topKByScore(df, "doc_id", "score", 5)
+      .orderBy(col("score_rank")).select("doc_id").as[Long].collect().toSeq
+    val expect = (0L until 50L).map(i => (i, (i * 37 % 50) / 10.0))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(top5 === expect)
+    assert(Sampling.topKByScore(df, "doc_id", "score", 1000).count() === 50)
+    assert(Sampling.topKByScore(df, "doc_id", "score", 0).count() === 0)
+    // NO global window sort anywhere; the ranked side reads the
+    // locally-checkpointed ranged RDD
+    val out = Sampling.topKByScore(df, "doc_id", "score", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed-RDD scan in:\n$plan")
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   test("redact: emails, URLs, IPv4 in fixed order; counts match; clean text untouched") {
