@@ -256,8 +256,11 @@ object SparkEntry {
     // rounded quality score (desc, doc_id ties) — keep k = ceil(0.25 n)
     "q_top_quality" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // lazy localCheckpoint shares the regex-heavy scoring scan between
+      // the rank build and the join-back branch (the Dedup.exact trick)
       val scored = d.select(col("doc_id"),
         graft.pipeline.TextOps.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(false)
       graft.pipeline.Sampling.topFractionByScore(scored, "doc_id", "quality", 0.25)
         .select(col("doc_id"), col("quality"), col("score_rank"))
     }),
