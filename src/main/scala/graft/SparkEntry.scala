@@ -265,6 +265,17 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), col("score_rank"))
     }),
 
+    // ---- domain-balanced variant: keep the best 25% of EACH source
+    "q_top_quality_src" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = d.select(col("doc_id"), col("source"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(false)
+      graft.pipeline.Sampling.topFractionByScorePerGroup(
+          scored, "doc_id", "quality", "source", 0.25)
+        .select(col("doc_id"), col("source"), col("quality"), col("score_rank"))
+    }),
+
     // ---- exact dedup by normalized-text fingerprint (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1223,6 +1234,19 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS score_rank FROM nn)
         |SELECT doc_id, quality, score_rank FROM ranked
         |WHERE score_rank <= CAST(CEIL(0.25 * (SELECT COUNT(*) FROM nn)) AS BIGINT)""".stripMargin),
+
+    // domain-balanced cut: per-source row_number + per-source ceil(0.25 n_g)
+    "q_top_quality_src" ->
+      ("""WITH scored AS (SELECT doc_id, source, """ + QualityScoreSql + """ AS quality FROM documents),
+        |nn AS (SELECT doc_id, source, quality FROM scored
+        |       WHERE quality IS NOT NULL AND source IS NOT NULL),
+        |ranked AS (SELECT doc_id, source, quality,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)
+        |    AS score_rank FROM nn),
+        |ng AS (SELECT source, COUNT(*) AS c FROM nn GROUP BY source)
+        |SELECT r.doc_id, r.source, r.quality, r.score_rank
+        |FROM ranked r JOIN ng ON r.source = ng.source
+        |WHERE r.score_rank <= CAST(CEIL(0.25 * ng.c) AS BIGINT)""".stripMargin),
 
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents),

@@ -171,7 +171,7 @@ object Sampling {
   def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
                          fraction: Double, rankCol: String = "score_rank"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    rankGate(df, idCol, scoreCol, n => math.ceil(fraction * n).toLong, rankCol)
+    rankGate(df, idCol, scoreCol, None, (_, n) => math.ceil(fraction * n).toLong, rankCol)
   }
 
   /** [[topFractionByScore]] with an absolute count: keep the k best rows
@@ -180,55 +180,84 @@ object Sampling {
   def topKByScore(df: DataFrame, idCol: String, scoreCol: String,
                   k: Long, rankCol: String = "score_rank"): DataFrame = {
     require(k >= 0L, s"k must be >= 0, got $k")
-    rankGate(df, idCol, scoreCol, _ => k, rankCol)
+    rankGate(df, idCol, scoreCol, None, (_, n) => k.min(n), rankCol)
   }
 
+  /** Per-group [[topFractionByScore]]: keep the best `fraction` of EACH
+    * group (rank by (score DESC, id ASC) within the group, keep
+    * k_g = ceil(fraction · n_g)) — the domain-balanced quality gate: a cut
+    * on the global rank lets one high-scoring mega-domain crowd everything
+    * else out of the kept set, while a per-domain cut preserves the
+    * corpus's source mixture. Same scale shape — group is merely a prefix
+    * of the range-partition key, so a 10¹¹-row domain spans many
+    * partitions and no task ever sorts a whole group (the driver state is
+    * one (partition, group) count per pair, the tokenBudgetMix bound).
+    * Rows with a NULL score OR a NULL group are dropped — mirror oracles.
+    */
+  def topFractionByScorePerGroup(df: DataFrame, idCol: String, scoreCol: String,
+                                 groupCol: String, fraction: Double,
+                                 rankCol: String = "score_rank"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    rankGate(df, idCol, scoreCol, Some(groupCol),
+      (_, n) => math.ceil(fraction * n).toLong, rankCol)
+  }
+
+  /** Shared distributed prefix-rank core. `groupCol = None` ranks the
+    * whole frame as one group (rows carry a constant "" group tag; the
+    * range key degenerates to (score desc, id)). `kOf(group, nGroup)`
+    * returns the keep-count for each group given its row count.
+    */
   private def rankGate(df: DataFrame, idCol: String, scoreCol: String,
-                       kOf: Long => Long, rankCol: String): DataFrame = {
+                       groupCol: Option[String], kOf: (String, Long) => Long,
+                       rankCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.where(col(scoreCol).isNotNull)
-      .select(col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
+    val grp = groupCol.map(g => col(g).cast("string")).getOrElse(lit(""))
+    val base = df.where(col(scoreCol).isNotNull && grp.isNotNull)
+      .select(col(idCol).cast("long").as("__id"), grp.as("__g"),
+        col(scoreCol).cast("double").as("__s"))
     val nParts = spark.sessionState.conf.numShufflePartitions
     // pids are frozen INTO the checkpointed rows (the tokenBudgetMix
     // coalesce hazard): the tag lambda runs during checkpoint
     // materialization, whose stage partitions ARE the range partitions.
     val ranged = base
-      .repartitionByRange(nParts, col("__s").desc, col("__id").asc)
-      .sortWithinPartitions(col("__s").desc, col("__id").asc)
-      .as[(Long, Double)]
+      .repartitionByRange(nParts, col("__g"), col("__s").desc, col("__id").asc)
+      .sortWithinPartitions(col("__g"), col("__s").desc, col("__id").asc)
+      .as[(Long, String, Double)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.map { case (id, _) => (pid, id) }
+        it.map { case (id, g, _) => (pid, id, g) }
       }
       .localCheckpoint(false)
-    // pass 1: per-partition row counts — an nParts-row driver collect
+    // pass 1: per-(partition, group) row counts — a (partitions × groups)-
+    // row driver collect, the tokenBudgetMix bound
     val partStats = ranged.mapPartitions { it =>
-      val m = scala.collection.mutable.LinkedHashMap[Int, Long]()
-      it.foreach { case (pid, _) => m(pid) = m.getOrElse(pid, 0L) + 1 }
+      val m = scala.collection.mutable.LinkedHashMap[(Int, String), Long]()
+      it.foreach { case (pid, _, g) => m((pid, g)) = m.getOrElse((pid, g), 0L) + 1 }
       m.iterator
     }.collect()
-    val counts: Seq[(Int, Long)] = partStats.groupBy(_._1)
-      .map { case (pid, xs) => (pid, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val k = kOf(n)
-    val offsets: Map[Int, Long] = counts.map { case (pid, _) =>
-      pid -> counts.filter(_._1 < pid).map(_._2).sum
+    val counts: Seq[((Int, String), Long)] = partStats.groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val kPerGroup: Map[String, Long] = counts.groupBy(_._1._2)
+      .map { case (g, xs) => g -> kOf(g, xs.map(_._2).sum) }
+    val offsets: Map[(Int, String), Long] = counts.map { case ((pid, g), _) =>
+      (pid, g) -> counts.filter(c => c._1._2 == g && c._1._1 < pid).map(_._2).sum
     }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcK = spark.sparkContext.broadcast(kPerGroup)
     // pass 2: linear per-partition scan adding the broadcast offsets —
-    // exact global ranks with no corpus-wide sort in one task. Local
-    // counters are keyed by the FROZEN pid: correct even when a coalesced
-    // task replays several stored partitions.
+    // exact per-group ranks with no group-wide sort in one task. Local
+    // counters are keyed by the FROZEN (pid, group): correct even when a
+    // coalesced task replays several stored partitions.
     val ranked = ranged.mapPartitions { it =>
-      val local = scala.collection.mutable.HashMap[Int, Long]()
-      it.map { case (pid, id) =>
-        val c = local.getOrElse(pid, 0L) + 1
-        local(pid) = c
-        (id, bc.value.getOrElse(pid, 0L) + c)
+      val local = scala.collection.mutable.HashMap[(Int, String), Long]()
+      it.flatMap { case (pid, id, g) =>
+        val c = local.getOrElse((pid, g), 0L) + 1
+        local((pid, g)) = c
+        val r = bcOff.value.getOrElse((pid, g), 0L) + c
+        if (r <= bcK.value.getOrElse(g, 0L)) Some((id, r)) else None
       }
     }.toDF("__jid", rankCol)
-      .where(col(rankCol) <= k)
     df.join(ranked, df(idCol).cast("long") === col("__jid")).drop("__jid")
   }
 }

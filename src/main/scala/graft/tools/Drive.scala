@@ -499,6 +499,14 @@ object Drive {
       println("TOPQ_EMPTY=" + Sampling.topFractionByScore(scored.limit(0), "doc_id", "q", 0.5).count() +
         " ALLNULL=" + Sampling.topFractionByScore(
           scored.withColumn("q", lit(null).cast("double")), "doc_id", "q", 0.5).count())
+      // per-group: each source keeps exactly ceil(0.2 * n_g) of its own rows
+      val scoredS = docs.select(col("doc_id"), col("source"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("q"))
+      val perG = Sampling.topFractionByScorePerGroup(scoredS, "doc_id", "q", "source", 0.2)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val expG = scoredS.where(col("q").isNotNull).groupBy("source").count()
+        .as[(String, Long)].collect().toMap.map { case (g, n) => g -> math.ceil(0.2 * n).toLong }
+      println(s"TOPQ_PERGROUP kept=$perG expect=$expG match=${perG == expG}")
       val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val flags = Contamination.flagContaminated(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         bench, "doc_id", "text", n = 3, minOverlap = 3)

@@ -211,6 +211,40 @@ class CurationSpec extends SparkSpec {
     assert(Sampling.topFractionByScore(df, "doc_id", "score", 0.0).count() === 0)
   }
 
+  test("topFractionByScorePerGroup: per-group ceil cut, window parity, null group/score dropped") {
+    // three groups of very different sizes (120 / 60 / 20) + nulls
+    val df = ((0L until 200L).map { i =>
+        val g = if (i < 120) "web" else if (i < 180) "code" else "wiki"
+        (i, Some((i * 31 % 13) * 0.25), Option(g))
+      } ++ Seq((200L, Option.empty[Double], Option("web")),
+               (201L, Some(9.9), Option.empty[String])))
+      .toDF("doc_id", "score", "src")
+    val got = Sampling.topFractionByScorePerGroup(df, "doc_id", "score", "src", 0.25)
+      .select("doc_id", "src", "score_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    // per-group keep counts: ceil(0.25 * {120, 60, 20}) = {30, 15, 5}
+    val byG = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byG === Map("web" -> 30, "code" -> 15, "wiki" -> 5))
+    assert(!got.exists(r => r._1 == 200L || r._1 == 201L)) // nulls dropped
+    // reference: per-group window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score").desc, col("doc_id"))
+    val ref = df.where(col("score").isNotNull && col("src").isNotNull)
+      .withColumn("score_rank", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .where(col("score_rank") <= ceil(col("n_g") * 0.25))
+      .select("doc_id", "src", "score_rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.toSet === ref)
+    // coalesce regression: frozen (pid, group) offsets survive a narrow
+    // downstream repartitioning
+    val coalesced = Sampling.topFractionByScorePerGroup(df, "doc_id", "score", "src", 0.25)
+      .coalesce(1).select("doc_id", "src", "score_rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(coalesced === ref)
+  }
+
   test("topKByScore: absolute k, clamps past n; plan is window-free") {
     val df = (0L until 50L).map(i => (i, (i * 37 % 50) / 10.0)).toDF("doc_id", "score")
     val top5 = Sampling.topKByScore(df, "doc_id", "score", 5)
