@@ -240,8 +240,13 @@ object Sampling {
       .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
     val kPerGroup: Map[String, Long] = counts.groupBy(_._1._2)
       .map { case (g, xs) => g -> kOf(g, xs.map(_._2).sum) }
-    val offsets: Map[(Int, String), Long] = counts.map { case ((pid, g), _) =>
-      (pid, g) -> counts.filter(c => c._1._2 == g && c._1._1 < pid).map(_._2).sum
+    // per-group sorted prefix scan: O(P·G) driver work, not O((P·G)²)
+    val offsets: Map[(Int, String), Long] = counts.groupBy(_._1._2).flatMap {
+      case (g, xs) =>
+        var acc = 0L
+        xs.sortBy(_._1._1).map { case ((pid, _), c) =>
+          val o = ((pid, g), acc); acc += c; o
+        }
     }.toMap
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcK = spark.sparkContext.broadcast(kPerGroup)
