@@ -525,6 +525,7 @@ object SparkEntry {
     // pattern with a margin head instead of an argmax head.
     "q_quality_nb" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < NbGateMaxDocId) // shared fixture anchor
       val model = graft.pipeline.QualityFilter.train(d, "text", vocabSize = 512)
       d.select(col("doc_id"),
         graft.pipeline.QualityFilter.marginCol(col("text"), model).as("margin"),
@@ -538,6 +539,7 @@ object SparkEntry {
     // fixpoint dedups the kept set).
     "q_curate_nb" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < NbGateMaxDocId) // shared fixture anchor
       val model = graft.pipeline.QualityFilter.train(d, "text", vocabSize = 512)
       val kept = graft.pipeline.QualityFilter.filter(d, "text", model)
       graft.pipeline.Dedup.fuzzyDedup(kept, "doc_id", "text", numHashes = 8, bands = 4)
@@ -908,13 +910,26 @@ object SparkEntry {
         |  CAST(rk AS BIGINT) AS rank
         |FROM ranked WHERE rk <= 10""".stripMargin
 
+  /** Fixture bound for the two NB-gate driver queries (the
+    * q_rp_ivf_neardup rule from VERDICT r4: a train-in-the-gate query must
+    * not grow to dominate the bench surface). A no-op at sf ≤ 0.01
+    * (doc_ids 0..499), it caps the trained/scored corpus at larger SFs on
+    * BOTH engine sides via this single shared anchor. The operators
+    * themselves are unbounded — QualityFilterSpec and Drive exercise them
+    * on full frames.
+    */
+  private val NbGateMaxDocId = 2000L
+
   /** Quality-NB margin CTE chain (d0 .. m) over the `documents` table —
     * the SINGLE source spliced by q_quality_nb and the composed
     * q_curate_nb (train on weak labels, score every doc, margin =
-    * per-class ROUND(ll, 6) then subtraction).
+    * per-class ROUND(ll, 6) then subtraction). Their final SELECTs read
+    * d0, so the fixture bound applies to the whole chain exactly once.
     */
   private lazy val QualityMarginCtes: String =
-    """d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+    s"""d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents
+      |        WHERE doc_id < $NbGateMaxDocId),""".stripMargin + "\n" +
+    """
       |lab AS (
       |  SELECT d0.doc_id, d0.t,
       |    CASE WHEN """.stripMargin + QualityScoreSql + """ >= 0.5
@@ -1535,7 +1550,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin END AS margin,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE m.margin >= 0.0 END AS keep
-        |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin),
+        |FROM d0 d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin),
 
     // composed NB curation replayed end to end: the quality-NB margin CTEs
     // gate the corpus, then the fuzzy-dedup chain (banded minhash pairs +
@@ -1545,7 +1560,7 @@ object SparkEntry {
       ("WITH RECURSIVE " + QualityMarginCtes + """,
         |kept AS (
         |  SELECT d.doc_id, d.text
-        |  FROM documents d JOIN m ON m.doc_id = d.doc_id
+        |  FROM d0 d JOIN m ON m.doc_id = d.doc_id
         |  WHERE d.text IS NOT NULL AND m.margin >= 0.0),
         |""".stripMargin + fuzzyDedupCtes("kept") + """
         |SELECT c.doc_id, s.dup_count
