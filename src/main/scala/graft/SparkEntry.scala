@@ -510,6 +510,7 @@ object SparkEntry {
     // argmax. Null text -> null prediction on both sides.
     "q_langid_nb" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < NbGateMaxDocId) // shared fixture anchor
       val labeled = d.filter(col("text").isNotNull)
         .select(col("text"), graft.pipeline.TextOps.langIdHeuristic(col("text")).as("lang"))
       val model = graft.pipeline.LangId.train(labeled, "text", "lang", n = 2, vocabSize = 512)
@@ -1492,7 +1493,9 @@ object SparkEntry {
     // add-0.5 smoothing over in-vocab totals, argmax on ROUND(ll, 6) with
     // lang-asc tie-break — every constant mirrors LangId.train's defaults
     "q_langid_nb" ->
-      """WITH d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+      (s"""WITH d0 AS (SELECT doc_id, text, lower(text) AS t FROM documents
+        |             WHERE doc_id < $NbGateMaxDocId),""".stripMargin + "\n" +
+      """
         |lab AS (
         |  SELECT d0.doc_id, d0.t,
         |    (SELECT CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
@@ -1540,7 +1543,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE r.lang END AS nb_pred,
         |  CASE WHEN d.text IS NULL THEN NULL ELSE r.rll END AS ll
-        |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1""".stripMargin,
+        |FROM d0 d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1""".stripMargin),
 
     // the 2-class quality NB replayed train+score in SQL: weak labels from
     // the heuristic quality score, same vocab/smoothing CTEs as
