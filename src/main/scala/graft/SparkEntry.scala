@@ -276,6 +276,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"), col("score_rank"))
     }),
 
+    // ---- exact corpus quantile thresholds over the quality score
+    "q_quality_quantiles" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = d.select(col("doc_id"),
+        graft.pipeline.TextOps.qualityScore(col("text")).as("quality"))
+      graft.pipeline.Sampling.quantileValues(scored, "doc_id", "quality",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // ---- exact dedup by normalized-text fingerprint (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1250,6 +1259,21 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS score_rank FROM nn)
         |SELECT doc_id, quality, score_rank FROM ranked
         |WHERE score_rank <= CAST(CEIL(0.25 * (SELECT COUNT(*) FROM nn)) AS BIGINT)""".stripMargin),
+
+    // exact discrete quantiles: value at ascending rank max(1, ceil(q*n));
+    // the rank formula runs in DOUBLE on both engines (0.9*n isn't exact
+    // in binary — identical IEEE ops, identical ceils)
+    "q_quality_quantiles" ->
+      ("""WITH scored AS (SELECT doc_id, """ + QualityScoreSql + """ AS quality FROM documents),
+        |nn AS (SELECT doc_id, quality FROM scored WHERE quality IS NOT NULL),
+        |ranked AS (SELECT quality,
+        |  CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rn FROM nn),
+        |n AS (SELECT COUNT(*) AS c FROM nn),
+        |qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE),
+        |                 (0.9::DOUBLE), (0.99::DOUBLE))
+        |SELECT qs.q AS q, r.quality AS value
+        |FROM qs CROSS JOIN n JOIN ranked r
+        |  ON r.rn = GREATEST(1, CAST(CEIL(qs.q * n.c) AS BIGINT))""".stripMargin),
 
     // domain-balanced cut: per-source row_number + per-source ceil(0.25 n_g)
     "q_top_quality_src" ->

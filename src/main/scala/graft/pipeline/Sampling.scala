@@ -202,6 +202,73 @@ object Sampling {
       (_, n) => math.ceil(fraction * n).toLong, rankCol)
   }
 
+  /** EXACT quantile values of a score column — the corpus-stats
+    * companion of [[topFractionByScore]]: the published thresholds
+    * ("p90 quality", "p99 token count") that downstream gates cut on.
+    * For each q in `qs` (0 < q ≤ 1) returns the value at ascending rank
+    * max(1, ceil(q · n)) under (score ASC, id ASC) — a deterministic,
+    * engine-reproducible discrete quantile, unlike `approx_percentile`
+    * (bounded error, merge-order-dependent) and unlike a
+    * sort-then-collect (driver holds n rows). NULL scores are excluded.
+    * Output: one (q, value) row per requested quantile.
+    *
+    * Scale shape: the same range-shuffle + per-partition-count +
+    * broadcast-offset pass as [[topFractionByScore]]; the only rows that
+    * ever leave the executors are the |qs| matched ranks.
+    */
+  def quantileValues(df: DataFrame, idCol: String, scoreCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = base
+      .repartitionByRange(nParts, col("__s").asc, col("__id").asc)
+      .sortWithinPartitions(col("__s").asc, col("__id").asc)
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, s) => (pid, id, s) }
+      }
+      .localCheckpoint(false)
+    val partStats = ranged.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      it.foreach { case (pid, _, _) => m(pid) = m.getOrElse(pid, 0L) + 1 }
+      m.iterator
+    }.collect()
+    val counts = partStats.groupBy(_._1)
+      .map { case (pid, xs) => (pid, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    // max(1, ceil(q*n)) in DOUBLE arithmetic — both engines must compute
+    // the rank identically (0.9*n is not exact in binary; identical IEEE
+    // ops give identical ceils, so mirror this formula, don't "simplify")
+    val wanted: Map[Long, Seq[Double]] = qs.map(q =>
+      q -> math.max(1L, math.ceil(q * n).toLong)).groupBy(_._2)
+      .map { case (k, xs) => k -> xs.map(_._1) }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcW = spark.sparkContext.broadcast(wanted.keySet)
+    // only the |qs| matched ranks leave the executors
+    val hits = ranged.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap[Int, Long]()
+      it.flatMap { case (pid, _, s) =>
+        val c = local.getOrElse(pid, 0L) + 1
+        local(pid) = c
+        val r = bcOff.value.getOrElse(pid, 0L) + c
+        if (bcW.value.contains(r)) Some((r, s)) else None
+      }
+    }.collect().toMap
+    wanted.toSeq.flatMap { case (k, qsAtK) =>
+      hits.get(k).toSeq.flatMap(v => qsAtK.map(q => (q, v)))
+    }.toDF("q", "value")
+  }
+
   /** Shared distributed prefix-rank core. `groupCol = None` ranks the
     * whole frame as one group (rows carry a constant "" group tag; the
     * range key degenerates to (score desc, id)). `kOf(group, nGroup)`

@@ -507,6 +507,14 @@ object Drive {
       val expG = scoredS.where(col("q").isNotNull).groupBy("source").count()
         .as[(String, Long)].collect().toMap.map { case (g, n) => g -> math.ceil(0.2 * n).toLong }
       println(s"TOPQ_PERGROUP kept=$perG expect=$expG match=${perG == expG}")
+      // exact quantiles: p100 must equal the max score; p50 value must have
+      // exactly ceil(n/2) scores <= it (ties broken by id under the hood)
+      val qv = Sampling.quantileValues(scored, "doc_id", "q", Seq(0.5, 1.0))
+        .as[(Double, Double)].collect().toMap
+      val mx = scored.agg(max("q")).as[Double].collect().head
+      val below = scored.where(col("q") <= qv(0.5)).count()
+      println(s"QUANTILES p50=${qv(0.5)} p100=${qv(1.0)} maxEq=${qv(1.0) == mx} " +
+        s"atMostP50=$below of ${scored.where(col("q").isNotNull).count()}")
       val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val flags = Contamination.flagContaminated(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         bench, "doc_id", "text", n = 3, minOverlap = 3)

@@ -245,6 +245,27 @@ class CurationSpec extends SparkSpec {
     assert(coalesced === ref)
   }
 
+  test("quantileValues: exact discrete quantiles, shared ranks, nulls excluded") {
+    // scores 1.0..100.0 shuffled in id order; 5 null-score rows excluded
+    val df = ((0L until 100L).map(i => (i, Some(((i * 37) % 100 + 1).toDouble))) ++
+        (100L until 105L).map(i => (i, Option.empty[Double])))
+      .toDF("doc_id", "score")
+    val got = Sampling.quantileValues(df, "doc_id", "score", Seq(0.25, 0.5, 0.9, 1.0))
+      .as[(Double, Double)].collect().toMap
+    // n = 100, values are exactly 1..100 => rank k holds value k
+    assert(got === Map(0.25 -> 25.0, 0.5 -> 50.0, 0.9 -> 90.0, 1.0 -> 100.0))
+    // two quantiles hitting the SAME rank both get the value (n = 3)
+    val tiny = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("doc_id", "score")
+    val shared = Sampling.quantileValues(tiny, "doc_id", "score", Seq(0.5, 0.6, 0.34))
+      .as[(Double, Double)].collect().toMap
+    assert(shared === Map(0.5 -> 20.0, 0.6 -> 20.0, 0.34 -> 20.0)) // ceil(.34*3)=ceil(1.02)=2
+    // empty input -> empty result; bad q -> loud failure
+    assert(Sampling.quantileValues(df.limit(0), "doc_id", "score", Seq(0.5)).count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.quantileValues(df, "doc_id", "score", Seq(0.0))
+    }
+  }
+
   test("topKByScore: absolute k, clamps past n; plan is window-free") {
     val df = (0L until 50L).map(i => (i, (i * 37 % 50) / 10.0)).toDF("doc_id", "score")
     val top5 = Sampling.topKByScore(df, "doc_id", "score", 5)
