@@ -245,6 +245,27 @@ class CurationSpec extends SparkSpec {
     assert(coalesced === ref)
   }
 
+  test("topFractionByScore / quantileValues: output invariant under the partition count") {
+    // the range layout changes with spark.sql.shuffle.partitions but the
+    // total order (score desc/asc, id) does not — ranks and thresholds
+    // must be bit-identical at any parallelism
+    val df = (0L until 300L).map(i => (i, ((i * 53) % 41) * 0.125)).toDF("doc_id", "score")
+    val at32 = Sampling.topFractionByScore(df, "doc_id", "score", 0.1)
+      .select("doc_id", "score_rank").as[(Long, Long)].collect().toSet
+    val qAt32 = Sampling.quantileValues(df, "doc_id", "score", Seq(0.5, 0.9))
+      .as[(Double, Double)].collect().toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val at7 = Sampling.topFractionByScore(df, "doc_id", "score", 0.1)
+        .select("doc_id", "score_rank").as[(Long, Long)].collect().toSet
+      val qAt7 = Sampling.quantileValues(df, "doc_id", "score", Seq(0.5, 0.9))
+        .as[(Double, Double)].collect().toSet
+      assert(at7 === at32)
+      assert(qAt7 === qAt32)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("quantileValues: exact discrete quantiles, shared ranks, nulls excluded") {
     // scores 1.0..100.0 shuffled in id order; 5 null-score rows excluded
     val df = ((0L until 100L).map(i => (i, Some(((i * 37) % 100 + 1).toDouble))) ++
