@@ -279,8 +279,11 @@ object SparkEntry {
     // ---- exact corpus quantile thresholds over the quality score
     "q_quality_quantiles" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // shared scoring scan (the q_top_quality trick): the range sampling
+      // pass and the shuffle map stage both read the stored partitions
       val scored = d.select(col("doc_id"),
         graft.pipeline.TextOps.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(false)
       graft.pipeline.Sampling.quantileValues(scored, "doc_id", "quality",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
@@ -1258,7 +1261,7 @@ object SparkEntry {
         |ranked AS (SELECT doc_id, quality,
         |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS score_rank FROM nn)
         |SELECT doc_id, quality, score_rank FROM ranked
-        |WHERE score_rank <= CAST(CEIL(0.25 * (SELECT COUNT(*) FROM nn)) AS BIGINT)""".stripMargin),
+        |WHERE score_rank <= CAST(CEIL(0.25::DOUBLE * (SELECT COUNT(*) FROM nn)) AS BIGINT)""".stripMargin),
 
     // exact discrete quantiles: value at ascending rank max(1, ceil(q*n));
     // the rank formula runs in DOUBLE on both engines (0.9*n isn't exact
@@ -1286,7 +1289,7 @@ object SparkEntry {
         |ng AS (SELECT source, COUNT(*) AS c FROM nn GROUP BY source)
         |SELECT r.doc_id, r.source, r.quality, r.score_rank
         |FROM ranked r JOIN ng ON r.source = ng.source
-        |WHERE r.score_rank <= CAST(CEIL(0.25 * ng.c) AS BIGINT)""".stripMargin),
+        |WHERE r.score_rank <= CAST(CEIL(0.25::DOUBLE * ng.c) AS BIGINT)""".stripMargin),
 
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents),

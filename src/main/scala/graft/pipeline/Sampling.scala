@@ -222,30 +222,9 @@ object Sampling {
       s"quantiles must be in (0,1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.where(col(scoreCol).isNotNull)
-      .select(col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val ranged = base
-      .repartitionByRange(nParts, col("__s").asc, col("__id").asc)
-      .sortWithinPartitions(col("__s").asc, col("__id").asc)
-      .as[(Long, Double)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.map { case (id, s) => (pid, id, s) }
-      }
-      .localCheckpoint(false)
-    val partStats = ranged.mapPartitions { it =>
-      val m = scala.collection.mutable.LinkedHashMap[Int, Long]()
-      it.foreach { case (pid, _, _) => m(pid) = m.getOrElse(pid, 0L) + 1 }
-      m.iterator
-    }.collect()
-    val counts = partStats.groupBy(_._1)
-      .map { case (pid, xs) => (pid, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
-    }
+    val (ranged, offsets, nPerGroup) =
+      prefixRanked(df, idCol, scoreCol, groupCol = None, asc = true)
+    val n = nPerGroup.getOrElse("", 0L)
     // max(1, ceil(q*n)) in DOUBLE arithmetic — both engines must compute
     // the rank identically (0.9*n is not exact in binary; identical IEEE
     // ops give identical ceils, so mirror this formula, don't "simplify")
@@ -256,11 +235,11 @@ object Sampling {
     val bcW = spark.sparkContext.broadcast(wanted.keySet)
     // only the |qs| matched ranks leave the executors
     val hits = ranged.mapPartitions { it =>
-      val local = scala.collection.mutable.HashMap[Int, Long]()
-      it.flatMap { case (pid, _, s) =>
-        val c = local.getOrElse(pid, 0L) + 1
-        local(pid) = c
-        val r = bcOff.value.getOrElse(pid, 0L) + c
+      val local = scala.collection.mutable.HashMap[(Int, String), Long]()
+      it.flatMap { case (pid, _, g, s) =>
+        val c = local.getOrElse((pid, g), 0L) + 1
+        local((pid, g)) = c
+        val r = bcOff.value.getOrElse((pid, g), 0L) + c
         if (bcW.value.contains(r)) Some((r, s)) else None
       }
     }.collect().toMap
@@ -279,42 +258,10 @@ object Sampling {
                        rankCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val grp = groupCol.map(g => col(g).cast("string")).getOrElse(lit(""))
-    val base = df.where(col(scoreCol).isNotNull && grp.isNotNull)
-      .select(col(idCol).cast("long").as("__id"), grp.as("__g"),
-        col(scoreCol).cast("double").as("__s"))
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // pids are frozen INTO the checkpointed rows (the tokenBudgetMix
-    // coalesce hazard): the tag lambda runs during checkpoint
-    // materialization, whose stage partitions ARE the range partitions.
-    val ranged = base
-      .repartitionByRange(nParts, col("__g"), col("__s").desc, col("__id").asc)
-      .sortWithinPartitions(col("__g"), col("__s").desc, col("__id").asc)
-      .as[(Long, String, Double)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.map { case (id, g, _) => (pid, id, g) }
-      }
-      .localCheckpoint(false)
-    // pass 1: per-(partition, group) row counts — a (partitions × groups)-
-    // row driver collect, the tokenBudgetMix bound
-    val partStats = ranged.mapPartitions { it =>
-      val m = scala.collection.mutable.LinkedHashMap[(Int, String), Long]()
-      it.foreach { case (pid, _, g) => m((pid, g)) = m.getOrElse((pid, g), 0L) + 1 }
-      m.iterator
-    }.collect()
-    val counts: Seq[((Int, String), Long)] = partStats.groupBy(_._1)
-      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
-    val kPerGroup: Map[String, Long] = counts.groupBy(_._1._2)
-      .map { case (g, xs) => g -> kOf(g, xs.map(_._2).sum) }
-    // per-group sorted prefix scan: O(P·G) driver work, not O((P·G)²)
-    val offsets: Map[(Int, String), Long] = counts.groupBy(_._1._2).flatMap {
-      case (g, xs) =>
-        var acc = 0L
-        xs.sortBy(_._1._1).map { case ((pid, _), c) =>
-          val o = ((pid, g), acc); acc += c; o
-        }
-    }.toMap
+    val (ranged, offsets, nPerGroup) =
+      prefixRanked(df, idCol, scoreCol, groupCol, asc = false)
+    val kPerGroup: Map[String, Long] =
+      nPerGroup.map { case (g, n) => g -> kOf(g, n) }
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcK = spark.sparkContext.broadcast(kPerGroup)
     // pass 2: linear per-partition scan adding the broadcast offsets —
@@ -323,13 +270,66 @@ object Sampling {
     // coalesced task replays several stored partitions.
     val ranked = ranged.mapPartitions { it =>
       val local = scala.collection.mutable.HashMap[(Int, String), Long]()
-      it.flatMap { case (pid, id, g) =>
+      it.flatMap { case (pid, id, g, _) =>
         val c = local.getOrElse((pid, g), 0L) + 1
         local((pid, g)) = c
         val r = bcOff.value.getOrElse((pid, g), 0L) + c
         if (r <= bcK.value.getOrElse(g, 0L)) Some((id, r)) else None
       }
     }.toDF("__jid", rankCol)
-    df.join(ranked, df(idCol).cast("long") === col("__jid")).drop("__jid")
+    df.join(ranked, df.col(s"`$idCol`").cast("long") === col("__jid")).drop("__jid")
+  }
+
+  /** Shared distributed prefix-rank scaffold for [[rankGate]] and
+    * [[quantileValues]]: range-partition on (group, score asc|desc, id),
+    * FREEZE partition ids into the rows, lazily localCheckpoint so every
+    * pass replays the SAME stored partitions (a re-executed range shuffle
+    * resamples boundaries — the tokenBudgetMix hazard — and the tag
+    * lambda runs during checkpoint materialization, whose stage
+    * partitions ARE the range partitions), then collect per-(partition,
+    * group) counts — a (partitions × groups)-row driver collect — and
+    * fold them into per-group prefix offsets (O(P·G) sorted scan) and
+    * per-group totals. Rows with a NULL score or group are dropped; user
+    * column names are backtick-quoted (column names are USER DATA).
+    */
+  private def prefixRanked(df: DataFrame, idCol: String, scoreCol: String,
+                           groupCol: Option[String], asc: Boolean)
+      : (org.apache.spark.sql.Dataset[(Int, Long, String, Double)],
+         Map[(Int, String), Long], Map[String, Long]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grp = groupCol.map(g => col(s"`$g`").cast("string")).getOrElse(lit(""))
+    val score = col(s"`$scoreCol`")
+    val base = df.where(score.isNotNull && grp.isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("__id"), grp.as("__g"),
+        score.cast("double").as("__s"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ord = if (asc) col("__s").asc else col("__s").desc
+    val ranged = base
+      .repartitionByRange(nParts, col("__g"), ord, col("__id").asc)
+      .sortWithinPartitions(col("__g"), ord, col("__id").asc)
+      .as[(Long, String, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, g, s) => (pid, id, g, s) }
+      }
+      .localCheckpoint(false)
+    val partStats = ranged.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap[(Int, String), Long]()
+      it.foreach { case (pid, _, g, _) => m((pid, g)) = m.getOrElse((pid, g), 0L) + 1 }
+      m.iterator
+    }.collect()
+    val counts: Seq[((Int, String), Long)] = partStats.groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val nPerGroup: Map[String, Long] = counts.groupBy(_._1._2)
+      .map { case (g, xs) => g -> xs.map(_._2).sum }
+    val offsets: Map[(Int, String), Long] = counts.groupBy(_._1._2).flatMap {
+      case (g, xs) =>
+        var acc = 0L
+        xs.sortBy(_._1._1).map { case ((pid, _), c) =>
+          val o = ((pid, g), acc); acc += c; o
+        }
+    }.toMap
+    (ranged, offsets, nPerGroup)
   }
 }
