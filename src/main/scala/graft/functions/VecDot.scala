@@ -163,5 +163,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "top_word_ratio(text)")
         TopWordRatio(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quality_score(text)")
+        QualityScoreExpr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("langid_heuristic"),
+      new ExpressionInfo(classOf[LangIdHeuristicExpr].getName, "langid_heuristic"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "langid_heuristic(text)")
+        LangIdHeuristicExpr(args.head)
+      }))
   }
 }

@@ -268,6 +268,24 @@ object BpeModel {
   * earlier pair's component string); lineage is truncated by a
   * localCheckpoint every `checkpointEvery` rounds so 200-round trainings
   * neither replay the corpus scan nor build unbounded plans.
+  *
+  * Merge-loop regimes (the FeatSel gramMaxCols split): the per-round cost
+  * used to be a FULL adjacent-pair recount over the word table — one
+  * explode + aggregate + TakeOrdered job per merge, ~0.12 s of driver-loop
+  * floor latency per round at any corpus size, i.e. hours for a realistic
+  * 32k-merge vocabulary. When the distinct-word table fits under
+  * `maxLocalWords` (the common case — 100 TB of text still compresses to
+  * a bounded vocabulary, and SentencePiece/HF trainers are in-memory for
+  * exactly this reason) the merge loop now runs ON THE DRIVER with
+  * INCREMENTAL pair counting: pair counts live in a hash map, a
+  * lazy-deletion heap serves the argmax, and each merge updates only the
+  * words that actually contain the merged pair (delta counting) — zero
+  * Spark jobs per round instead of three. Corpora whose vocabulary
+  * exceeds the bound fall back to the distributed per-round recount
+  * unchanged. Both paths are merge-for-merge identical (same counts, same
+  * (count desc, a asc, b asc) tie-break — the local comparator orders by
+  * code points, which equals the distributed path's UTF-8 bytewise
+  * UTF8String order; BpeSpec pins local ≡ distributed ≡ Python golden).
   */
 object BpeTrainer {
 
@@ -283,17 +301,34 @@ object BpeTrainer {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** Learn up to `nMerges` ranked merges from the corpus text column. */
+  /** Learn up to `nMerges` ranked merges from the corpus text column.
+    * `maxLocalWords` gates the driver-local incremental merge loop (see
+    * the object doc); vocabularies past the bound use the distributed
+    * per-round recount.
+    */
   def train(corpus: DataFrame, textCol: String, nMerges: Int,
-            checkpointEvery: Int = 16): BpeModel = {
+            checkpointEvery: Int = 16, maxLocalWords: Int = 2000000): BpeModel = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // ONE corpus scan: normalized word frequencies (the trainer's working
-    // set — bounded by the distinct-word vocabulary, not corpus size)
+    // set — bounded by the distinct-word vocabulary, not corpus size).
+    // Lazily localCheckpoint'd so the size probe and either merge-loop
+    // regime share one materialization of the scan+aggregate.
     val words = corpus
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // admission-bounded driver regime: collect at most maxLocalWords + 1
+    // rows — a vocabulary that fits runs the zero-jobs-per-round
+    // incremental loop; one row over the bound falls through to the
+    // distributed recount below (the FeatSel dense-regime split)
+    if (maxLocalWords > 0) {
+      val head = words.limit(maxLocalWords + 1).collect()
+      if (head.length <= maxLocalWords)
+        return new BpeModel(trainLocalMerges(
+          head.map(r => (r.getString(0), r.getLong(1))), nMerges))
+    }
     // base symbols: code points + </w> (an empty-merge model's tokenize)
     val baseModel = new BpeModel(Array.empty)
     var state = words
@@ -322,5 +357,141 @@ object BpeTrainer {
       }
     }
     new BpeModel(merges.toArray)
+  }
+
+  /** Code-point lexicographic comparison — equal to UTF-8 bytewise order
+    * (UTF8String binary comparison), i.e. the distributed argmax's
+    * `asc("a"), asc("b")` tie-break and Python's tuple-of-str compare.
+    * (Plain String.compareTo is UTF-16 unit order, which ranks U+E000..
+    * U+FFFF ABOVE supplementary code points — wrong for this tie-break.)
+    */
+  private def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** Driver-local merge loop with INCREMENTAL pair counting — identical
+    * merge sequence to the distributed recount (BpeSpec pins both against
+    * the Python golden and against each other). Pair counts live in a hash
+    * map; the argmax is a lazy-deletion heap (entries are (count, a, b)
+    * snapshots, discarded on pop when stale); each merge re-counts ONLY
+    * the words that still contain the merged pair adjacently, subtracting
+    * their old adjacent pairs and adding the post-merge ones — the delta
+    * update that makes 32k-merge vocabularies tractable.
+    */
+  private[pipeline] def trainLocalMerges(words: Array[(String, Long)],
+                                         nMerges: Int): Array[(String, String)] = {
+    if (nMerges == 0 || words.isEmpty) return Array.empty
+    val nw = words.length
+    val syms = new Array[Array[String]](nw)
+    val cnt = new Array[Long](nw)
+    val baseModel = new BpeModel(Array.empty)
+    var wi = 0
+    while (wi < nw) {
+      syms(wi) = baseModel.tokenizeWord(words(wi)._1) // code points + </w>
+      cnt(wi) = words(wi)._2
+      wi += 1
+    }
+    val pc = new java.util.HashMap[(String, String), Long]()
+    val occ = new java.util.HashMap[(String, String), scala.collection.mutable.ArrayBuffer[Int]]()
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(q._1, p._1) // count DESC
+        if (c != 0) return c
+        val a = cpCompare(p._2, q._2) // a ASC
+        if (a != 0) a else cpCompare(p._3, q._3) // b ASC
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](math.max(16, nw), heapOrd)
+    // heap entries are pushed per DIRTY PAIR per round (not per adjacent
+    // position) — `dirty` batches the updates so a hot pair touched in
+    // thousands of words costs one push
+    val dirty = new java.util.HashSet[(String, String)]()
+    def bump(pair: (String, String), delta: Long, word: Int): Unit = {
+      val now = pc.getOrDefault(pair, 0L) + delta
+      if (now <= 0L) pc.remove(pair) else pc.put(pair, now)
+      dirty.add(pair)
+      if (delta > 0 && word >= 0) {
+        var buf = occ.get(pair)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer[Int](); occ.put(pair, buf) }
+        // consecutive duplicates collapsed (full dedupe by the per-merge
+        // visited set)
+        if (buf.isEmpty || buf.last != word) buf += word
+      }
+    }
+    def flushDirty(): Unit = {
+      val it = dirty.iterator()
+      while (it.hasNext) {
+        val pair = it.next()
+        val now = pc.getOrDefault(pair, 0L)
+        if (now > 0L) heap.add((now, pair._1, pair._2))
+      }
+      dirty.clear()
+    }
+    wi = 0
+    while (wi < nw) {
+      val s = syms(wi)
+      var k = 0
+      while (k < s.length - 1) { bump((s(k), s(k + 1)), cnt(wi), wi); k += 1 }
+      wi += 1
+    }
+    flushDirty()
+    def containsPair(s: Array[String], a: String, b: String): Boolean = {
+      var k = 0
+      while (k < s.length - 1) {
+        if (s(k) == a && s(k + 1) == b) return true
+        k += 1
+      }
+      false
+    }
+    def applyMergeLocal(s: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var k = 0
+      while (k < s.length) {
+        if (k < s.length - 1 && s(k) == a && s(k + 1) == b) { out += a + b; k += 2 }
+        else { out += s(k); k += 1 }
+      }
+      out.result()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      // pop until a live (count matches pc) entry surfaces — lazy deletion
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val top = heap.poll()
+        val pair = (top._2, top._3)
+        if (pc.getOrDefault(pair, 0L) == top._1) best = pair
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best
+        merges += ((a, b))
+        val touched = occ.remove(best) // fully merged below; re-creations re-register
+        val visited = new java.util.HashSet[Integer]()
+        if (touched != null) touched.foreach { w =>
+          if (visited.add(w) && containsPair(syms(w), a, b)) {
+            val old = syms(w)
+            val c = cnt(w)
+            var k = 0
+            while (k < old.length - 1) { bump((old(k), old(k + 1)), -c, -1); k += 1 }
+            val nw2 = applyMergeLocal(old, a, b)
+            syms(w) = nw2
+            k = 0
+            while (k < nw2.length - 1) { bump((nw2(k), nw2(k + 1)), c, w); k += 1 }
+          }
+        }
+        flushDirty()
+      }
+    }
+    merges.toArray
   }
 }

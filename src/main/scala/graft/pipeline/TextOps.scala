@@ -47,8 +47,23 @@ object TextOps {
   /** Composite quality score in [0,1]: length sweet-spot, punctuation
     * sanity, stopword presence, mean word length sanity. Deterministic and
     * SQL-mirrorable (see SparkEntry oracle).
+    *
+    * Fast path: the native single-pass `quality_score` expression when the
+    * session carries GraftExtensions (bit-identical — pinned by
+    * TextScoreExprsSpec); the declarative formulation below pays six regex
+    * executions + three splits + an interpreted stopword filter per row.
     */
   def qualityScore(text: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("quality_score")))
+      return call_function("quality_score", text)
+    qualityScoreBuiltin(text)
+  }
+
+  /** The declarative formulation — the parity oracle for the native
+    * expression (TextScoreExprsSpec compares them value-for-value).
+    */
+  private[graft] def qualityScoreBuiltin(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val lenScore = least(n / 20.0, lit(1.0)) * when(n > 5000, 0.5).otherwise(1.0)
     val punct = punctRatio(text)
@@ -71,6 +86,16 @@ object TextOps {
   )
 
   def langIdHeuristic(text: Column): Column = {
+    // native one-walk argmax (bit-identical; the declarative fold below
+    // re-evaluates every per-language filter inside every when branch)
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.catalog.functionExists("langid_heuristic")))
+      return call_function("langid_heuristic", text)
+    langIdHeuristicBuiltin(text)
+  }
+
+  /** Declarative formulation — the native expression's parity oracle. */
+  private[graft] def langIdHeuristicBuiltin(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = markers.map { case (lang, ws) =>
       val arr = array(ws.map(lit): _*)

@@ -105,6 +105,23 @@ class BpeSpec extends SparkSpec {
     assert(BpeModel.loadFile(mPath).merges.toSeq == trained.merges.toSeq)
   }
 
+  test("distributed per-round recount ≡ local incremental loop (merge-for-merge)") {
+    // maxLocalWords = 0 forces the distributed regime; the default path on
+    // this fixture takes the driver-local incremental loop — both must
+    // produce the IDENTICAL ranked merge list (and both equal the Python
+    // golden via the test above, whose default path is now the local loop)
+    val src = scala.io.Source.fromFile(res("/fixtures/bpe_corpus.txt"), "UTF-8")
+    val corpusLines = try src.getLines().toVector finally src.close()
+    val corpus = corpusLines.toDF("text").repartition(3)
+    val dist = BpeTrainer.train(corpus, "text", nMerges = 200, checkpointEvery = 16,
+      maxLocalWords = 0)
+    assert(dist.merges.length == model.merges.length,
+      s"${dist.merges.length} vs ${model.merges.length}")
+    dist.merges.zip(model.merges).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"merge $i: $got vs $exp")
+    }
+  }
+
   test("byte-fallback encoder matches the Python golden and round-trips") {
     val vocabB = BpeModel.loadVocabFile(res("/fixtures/bpe_vocab_bytes.txt"))
     val encB = new BpeEncoder(model, vocabB, byteFallback = true)
