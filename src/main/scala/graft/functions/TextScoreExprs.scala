@@ -170,6 +170,62 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression with Code
     copy(child = newChild)
 }
 
+/** Native one-pass code-point n-gram array — mirrors LangId.gramsCol's
+  * declarative `when(length(t) >= n, transform(sequence(1, len-n+1),
+  * i => t.substr(i, n))).otherwise(array())` EXACTLY, including the
+  * null-input → EMPTY ARRAY edge (the when-condition on a null length
+  * falls to the otherwise branch). The declarative form is O(len²) per
+  * row: every interpreted `substr(t, i, n)` walks the string from byte 0
+  * to find code point i — quadratic in document length, the dominant cost
+  * of NB training and an outright hazard on long documents. This walks
+  * the code points once.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects a string argument, got ${child.dataType.catalogString}")
+
+  private val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) empty else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // code-point start offsets (UTF-16 indices)
+    val cps = new Array[Int](text.length + 1)
+    var m = 0
+    var off = 0
+    while (off < text.length) {
+      cps(m) = off
+      off += Character.charCount(text.codePointAt(off))
+      m += 1
+    }
+    cps(m) = text.length
+    if (m < n) return empty
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      out(i) = UTF8String.fromString(text.substring(cps(i), cps(i + n)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def prettyName: String = "char_ngrams"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native [[graft.pipeline.TextOps.langIdHeuristic]]: per-language marker
   * hit counts in one token walk, argmax with the fold's first-wins
   * tie-break in marker order (en, de, es, fr), "und" when all zero.

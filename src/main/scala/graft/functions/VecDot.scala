@@ -171,6 +171,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         QualityScoreExpr(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_ngrams(text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+        }
+        CharNgrams(args.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("langid_heuristic"),
       new ExpressionInfo(classOf[LangIdHeuristicExpr].getName, "langid_heuristic"),
       (args: Seq[Expression]) => {

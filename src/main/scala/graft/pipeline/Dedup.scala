@@ -280,7 +280,34 @@ object Dedup {
     * a reliable checkpoint dir (graft.ckpt) at the same call site.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, maxLocalEdges: Int = 1 << 22): DataFrame = {
+    // Admission-bounded driver regime (the BpeTrainer / FeatSel split): a
+    // candidate-pair graph that fits under `maxLocalEdges` resolves via
+    // ONE bounded collect + union-find — zero per-round Spark jobs —
+    // instead of 3-5 frontier rounds of join+aggregate+checkpoint. The
+    // labels are IDENTICAL (component = min reachable id; union-by-min
+    // with path compression computes exactly that — PipelineSpec pins
+    // local ≡ distributed on random graphs). A graph one row past the
+    // bound, non-integral ids, or null ids fall through to the
+    // distributed frontier propagation unchanged; the lazily
+    // localCheckpoint'd pair frame is shared so the (expensive) pair
+    // pipeline is never computed twice.
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val integral = Seq(id1, id2).forall(c => pairs.schema(c).dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    })
+    if (integral && maxLocalEdges > 0) {
+      val p = pairs.select(col(id1), col(id2)).localCheckpoint(false)
+      val head = p.limit(maxLocalEdges + 1).collect()
+      if (head.length <= maxLocalEdges && head.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return localComponents(pairs.sparkSession, head, pairs.schema(id1).dataType)
+      val r = connectedComponentsWithInfo(p, id1, id2, maxIter)
+      if (!r.converged)
+        System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
+          "fixpoint — labels may span unmerged sub-components; raise maxIter for deep chain graphs")
+      return r.labels
+    }
     val r = connectedComponentsWithInfo(pairs, id1, id2, maxIter)
     // no silent caps: an unconverged truncation must be visible even to
     // callers of the frame-only API (programmatic callers should consume
@@ -289,6 +316,40 @@ object Dedup {
       System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
         "fixpoint — labels may span unmerged sub-components; raise maxIter for deep chain graphs")
     r.labels
+  }
+
+  /** Driver union-find over a bounded collected edge list: parent-pointer
+    * forest with union-by-min-root and path compression, so every root IS
+    * its component's minimum id — the same (id, component = min reachable
+    * id) labeling the frontier propagation converges to. Only ids that
+    * appear in pairs are emitted (the distributed contract).
+    */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getAs[Number](0).longValue()
+      val b = row.getAs[Number](1).longValue()
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.forEach((k, _) => out += ((k, find(k))))
+    import spark.implicits._
+    out.toSeq.toDF("id", "component")
+      .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("component"))
   }
 
   /** Result of [[connectedComponentsWithInfo]]: the (id, component) frame,
@@ -329,11 +390,17 @@ object Dedup {
       // node's previous label (max ignores nulls, and exactly one lab row
       // exists per id), so the round costs one aggregation exchange + the
       // jump join, not a separate candidate aggregate + left join
-      val msgs = edges.join(
-          frontier.select(col("id").as("__fid"), col("component").as("__fcomp")),
-          edges("src") === col("__fid"))
-        .select(col("dst").as("id"), col("__fcomp").as("component"),
-          lit(null).cast(compType).as("__old"))
+      val msgs =
+        if (it == 0)
+          // round 1's frontier IS the identity labeling, so joining edges
+          // against it just re-emits the edge list — skip the join
+          edges.select(col("dst").as("id"), col("src").cast(compType).as("component"),
+            lit(null).cast(compType).as("__old"))
+        else edges.join(
+            frontier.select(col("id").as("__fid"), col("component").as("__fcomp")),
+            edges("src") === col("__fid"))
+          .select(col("dst").as("id"), col("__fcomp").as("component"),
+            lit(null).cast(compType).as("__old"))
       val prop = lab.select(col("id"), col("component"), col("component").as("__old"))
         .union(msgs)
         .groupBy("id").agg(min("component").as("__ncomp"), max("__old").as("__old"))
@@ -352,6 +419,10 @@ object Dedup {
         .localCheckpoint(true) // truncates lineage — see the Lineage note
       val newFrontier = next.where(col("component") =!= col("__old"))
         .select("id", "component")
+      // cheap convergence probe over the just-checkpointed blocks (an
+      // observe()-metric variant riding the checkpoint job was tried and
+      // reverted: the metric accumulator is weakly held and a GC during
+      // the materialization job spams non-existent-accumulator errors)
       converged = newFrontier.isEmpty
       lab.unpersist()
       lab = next.select("id", "component")

@@ -88,6 +88,25 @@ class PipelineSpec extends SparkSpec {
     assert(rOk.labels.where(col("component") =!= 1L).count() == 0)
   }
 
+  test("driver union-find ≡ distributed frontier propagation (label-for-label)") {
+    // pseudo-random multigraph (chains, cross edges, duplicates, self-ish
+    // shapes): the admission-bounded local regime and the forced
+    // distributed regime must emit the IDENTICAL (id, component) labeling
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.tabulate(400)(i => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      ++ (1L to 50L).map(i => (i, i + 1))).filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id1", "id2").repartition(5)
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local=${local.size} dist=${dist.size}")
+    // an over-bound graph falls through to the distributed regime
+    val forced = Dedup.connectedComponents(pairs, maxLocalEdges = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == dist)
+  }
+
   test("hub-star capped LSH pairs still resolve to one component") {
     // 6 identical docs, cap 3: every bucket overflows into a hub star —
     // connectivity must survive for the canonical-id resolution
