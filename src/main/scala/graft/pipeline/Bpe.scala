@@ -175,7 +175,11 @@ final class BpeEncoder(val model: BpeModel, vocab: Array[String],
     encoded.foreach { id =>
       if (id > 0 && id < vocab.length) {
         val tok = vocab(id)
-        if (byteFallback && tok.length == 6 && tok.startsWith("<0x") && tok.endsWith(">"))
+        if (byteFallback && tok.length == 6 && tok.startsWith("<0x") && tok.endsWith(">") &&
+            Character.digit(tok.charAt(3), 16) >= 0 && Character.digit(tok.charAt(4), 16) >= 0)
+          // hex digits validated: a learned corpus merge that merely LOOKS
+          // byte-token-shaped (e.g. "<0xzy>") must emit its UTF-8 bytes
+          // below, not throw NumberFormatException out of decode
           bytes.write(Integer.parseInt(tok.substring(3, 5), 16))
         else if (tok == BpeModel.Eow) bytes.write(' ')
         else if (tok.endsWith(BpeModel.Eow)) {

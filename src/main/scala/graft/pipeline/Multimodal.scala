@@ -260,7 +260,7 @@ object Multimodal {
           i += 1
         }
         (out, w, h)
-      } catch { case _: Throwable => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
 
     private def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
@@ -283,7 +283,7 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
         baos.toByteArray
-      } catch { case _: Throwable => Array.empty }
+      } catch { case scala.util.control.NonFatal(_) => Array.empty }
     }
 
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {

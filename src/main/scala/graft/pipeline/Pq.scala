@@ -189,6 +189,8 @@ object Pq {
         "driver-built per query; batch larger query sets")
     val luts = new java.util.HashMap[Long, Array[Array[Double]]](qRows.length * 2)
     qRows.foreach(r => luts.put(r.getLong(0), model.lut(r.getSeq[Double](1).toArray)))
+    require(luts.size == qRows.length,
+      "duplicate query ids — the per-query LUT map would silently keep one embedding")
     val spark = corpusCodes.sparkSession
     import spark.implicits._
     val qdf = broadcast(qRows.map(_.getLong(0)).toSeq.toDF("query_id"))
@@ -250,6 +252,8 @@ object Pq {
       }.sorted.take(nProbe).map(_._2)
       qid -> scored
     }
+    require(luts.size == qRows.length,
+      "duplicate query ids — the per-query LUT map would silently keep one embedding")
     val spark = corpusCodesIvf.sparkSession
     import spark.implicits._
     val qdf = broadcast(probes.toSeq.flatMap { case (qid, cls) =>
