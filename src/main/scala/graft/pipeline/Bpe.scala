@@ -323,15 +323,15 @@ object BpeTrainer {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    // admission-bounded driver regime: collect at most maxLocalWords + 1
-    // rows — a vocabulary that fits runs the zero-jobs-per-round
-    // incremental loop; one row over the bound falls through to the
-    // distributed recount below (the FeatSel dense-regime split)
-    if (maxLocalWords > 0) {
-      val head = words.limit(maxLocalWords + 1).collect()
-      if (head.length <= maxLocalWords)
-        return new BpeModel(trainLocalMerges(
-          head.map(r => (r.getString(0), r.getLong(1))), nMerges))
+    // admission-bounded driver regime: a vocabulary that fits runs the
+    // zero-jobs-per-round incremental loop; anything over the bound falls
+    // through to the distributed recount below (the FeatSel dense-regime
+    // split). count + bounded collect, NOT limit().collect() — see the
+    // executeTake accumulator-race note in Dedup.connectedComponents.
+    if (maxLocalWords > 0 && words.count() <= maxLocalWords) {
+      val head = words.collect()
+      return new BpeModel(trainLocalMerges(
+        head.map(r => (r.getString(0), r.getLong(1))), nMerges))
     }
     // base symbols: code points + </w> (an empty-merge model's tokenize)
     val baseModel = new BpeModel(Array.empty)

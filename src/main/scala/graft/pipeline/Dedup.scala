@@ -299,9 +299,17 @@ object Dedup {
     })
     if (integral && maxLocalEdges > 0) {
       val p = pairs.select(col(id1), col(id2)).localCheckpoint(false)
-      val head = p.limit(maxLocalEdges + 1).collect()
-      if (head.length <= maxLocalEdges && head.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
-        return localComponents(pairs.sparkSession, head, pairs.schema(id1).dataType)
+      // count + bounded collect, NOT limit().collect(): an incremental
+      // executeTake drops its plan the moment enough rows arrive, and a GC
+      // racing the still-draining task-completion events then logs
+      // non-existent-accumulator errors. The count job materializes the
+      // lazy checkpoint; the collect replays the stored blocks.
+      val nEdges = p.count()
+      if (nEdges <= maxLocalEdges) {
+        val head = p.collect()
+        if (head.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+          return localComponents(pairs.sparkSession, head, pairs.schema(id1).dataType)
+      }
       val r = connectedComponentsWithInfo(p, id1, id2, maxIter)
       if (!r.converged)
         System.err.println(s"[graft.Dedup] connectedComponents hit maxIter=$maxIter before the " +
