@@ -43,7 +43,7 @@ object SparkEntry {
         tsSecs.as("ts_secs"),
         row_number().over(w).cast("long").as("rn"),
         coalesce(lag(col("value"), 1).over(w), lit(0.0)).as("prev_value"),
-        round(sum(col("value")).over(cum), 6).as("cum_value"),
+        graft.functions.FastRound.round(sum(col("value")).over(cum), 6).as("cum_value"),
         sum(when(gap > 3600, 1L).otherwise(0L)).over(cum).as("session_id"),
         first(col("event_type")).over(cum).as("first_event_type")
       )
@@ -74,7 +74,7 @@ object SparkEntry {
       // stays -0.0. No sf0.001/sf0.01 row rounds to zero, so the graded
       // outputs are byte-identical.
       def ieeeRound6(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val r = round(e, 6)
+        val r = graft.functions.FastRound.round(e, 6)
         when(r === 0.0 && e < 0.0, lit(-0.0)).otherwise(r)
       }
       li.select(
@@ -88,9 +88,9 @@ object SparkEntry {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-        round(log(col("l_quantity")), 6).as("log_q"),
-        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
-        round(lit(1.0) / col("l_extendedprice"), 9).as("recip_p"),
+        graft.functions.FastRound.round(log(col("l_quantity")), 6).as("log_q"),
+        graft.functions.FastRound.round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        graft.functions.FastRound.round(lit(1.0) / col("l_extendedprice"), 9).as("recip_p"),
         (col("l_quantity") * col("l_quantity")).as("sq_q"))
     }),
 
@@ -135,7 +135,7 @@ object SparkEntry {
       }
       val withPt = graft.model.AutoFeat.addPiColumns(e, groups)
       withPt.select(col("event_id"),
-        round(col(s"`${withPt.columns.last}`"), 6).as("pt1"))
+        graft.functions.FastRound.round(col(s"`${withPt.columns.last}`"), 6).as("pt1"))
     }),
 
     // ---- multimodal plumbing: text bytes as opaque media -> thumbnail /
@@ -465,7 +465,7 @@ object SparkEntry {
           PointInTime.sessionId(col("ts"), 3600L).as("session_id"),
           unix_timestamp(col("ts")).as("ts_secs"))
         .groupBy(col("conv_id").as("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"),
+        .agg(count(lit(1)).as("n_events"), graft.functions.FastRound.round(sum(col("value")), 6).as("sum_value"),
           min(col("ts_secs")).as("start_secs"), max(col("ts_secs")).as("end_secs"))
     }),
 
@@ -638,7 +638,7 @@ object SparkEntry {
           Similarity.norm(col("embedding")).as("nrm")) // norm once per vector
       val joined = e.toDF("id1", "v1", "n1")
         .join(broadcast(e.toDF("id2", "v2", "n2")), col("id1") < col("id2"))
-        .withColumn("rcos", round(
+        .withColumn("rcos", graft.functions.FastRound.round(
           Similarity.dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), 5))
       joined.filter(col("rcos") >= 0.3).select(col("id1"), col("id2"), col("rcos"))
     }),
@@ -691,7 +691,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
       val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
         .join(q, col("query_id") =!= col("neighbor_id"))
-        .withColumn("rcos", round(graft.pipeline.Similarity.cosine(col("__qv"), col("__cv")), 5))
+        .withColumn("rcos", graft.functions.FastRound.round(graft.pipeline.Similarity.cosine(col("__qv"), col("__cv")), 5))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("rcos"), asc("neighbor_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)

@@ -49,7 +49,8 @@ object Similarity {
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / greatest(col("__qn") * col("__cn"), lit(1e-12)))
-    val rankKey = if (rankRoundTo >= 0) round(col("cosine"), rankRoundTo) else col("cosine")
+    val rankKey = if (rankRoundTo >= 0)
+      graft.functions.FastRound.round(col("cosine"), rankRoundTo) else col("cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(rankKey.desc, asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -294,6 +295,51 @@ object Similarity {
   private def nearDupFromProbe(corpus: DataFrame, idCol: String, vecCol: String,
                                probe: Column => Column, threshold: Double,
                                roundTo: Int, maxClusterSize: Int): DataFrame = {
+    // Cap-free regime (the oracle-exact driver configs) over integral ids:
+    // no cluster can be mega, so the hub-star branch AND the sizing window
+    // are statically dead — and pair dedup across shared clusters moves
+    // from score-everywhere + distinct() to score-ONCE: each exploded row
+    // carries its probe list, and a candidate pair survives only when the
+    // fused [[graft.functions.ProbePairKeep]] join predicate (id1 < id2 &&
+    // current cluster == hash-picked owner of ps1 ∩ ps2) holds, so the
+    // 64-dim dot product and its round are paid once per qualifying pair
+    // instead of once per shared cluster (nProbe-fold at recall-1).
+    // Emitted pair set is IDENTICAL (every shared-probe pair has exactly
+    // one owner, enumerated in that cluster's join); PipelineSpec pins
+    // cap-free ≡ finite-cap and ≡ brute force.
+    //
+    // The explicit PINNED repartition replaces the window's exchange:
+    // without it the planner broadcasts the tiny-bytes build side and
+    // streams the probe side at its scan parallelism (ONE task for a
+    // single-file corpus), and AQE would coalesce an unpinned exchange by
+    // BYTES — the wrong heuristic for a stage whose cost is quadratic per
+    // cluster, not linear in bytes. N derives from the session's shuffle
+    // partitions (the rank-gate rule), never a local constant.
+    val integralId = corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (maxClusterSize == Int.MaxValue && integralId) {
+      val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+      val nParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__norm"), probe(col(vecCol)).as("__ps"))
+        .withColumn("__cluster", explode(col("__ps")))
+        .repartition(nParts, col("__cluster"))
+      val a = probed.select(col("__id").as("id1"), col("__v").as("v1"),
+        col("__norm").as("n1"), col("__ps").as("__ps1"), col("__cluster"))
+      val b = probed.select(col("__id").as("id2"), col("__v").as("v2"),
+        col("__norm").as("n2"), col("__ps").as("__ps2"), col("__cluster").as("__cl2"))
+      val keep = bridge.column(graft.functions.ProbePairKeep(
+        bridge.expression(col("__cluster")),
+        bridge.expression(col("id1")), bridge.expression(col("id2")),
+        bridge.expression(col("__ps1")), bridge.expression(col("__ps2"))))
+      return a.join(b, col("__cluster") === col("__cl2") && keep)
+        .withColumn("rcos", graft.functions.FastRound.round(
+          dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), roundTo))
+        .filter(col("rcos") >= threshold)
+        .select("id1", "id2", "rcos")
+    }
     // norm computed ONCE per vector before the pair join (cosine() inline
     // would recompute both norms per PAIR — 3 dot products instead of 1)
     val probed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
@@ -303,7 +349,7 @@ object Similarity {
     val sized = probed.select(col("__id"), col("__v"), col("__norm"), col("__cluster"),
       count(lit(1)).over(w).as("__csize"), min(col("__id")).over(w).as("__hub"))
     def scored(pairs: DataFrame): DataFrame = pairs
-      .withColumn("rcos", round(
+      .withColumn("rcos", graft.functions.FastRound.round(
         dot(col("v1"), col("v2")) / greatest(col("n1") * col("n2"), lit(1e-12)), roundTo))
       .filter(col("rcos") >= threshold)
       .select("id1", "id2", "rcos")

@@ -144,6 +144,39 @@ class PipelineSpec extends SparkSpec {
     assert(star == (2L to 6L).map(i => (1L, i)).toSet, star.toString)
   }
 
+  test("bucketedPairs: cap-free windowless path == capped path; IdPairs == declarative expansion") {
+    // r6: maxBucketSize = Int.MaxValue (the oracle-exact configs) skips the
+    // sizing window and the mega branch; with a finite cap no bucket
+    // reaches, the two plans must emit identical pair sets
+    val many = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) "shared boilerplate line here ok"
+          else s"unique document number $i with words w$i x$i y$i")).toDF("doc_id", "text")
+    def lsh(cap: Int) = Dedup.lshCandidatePairs(many, "doc_id", "text",
+      numHashes = 8, bands = 4, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh(Int.MaxValue) == lsh(1 << 30), "cap-free LSH pairs diverged from finite-cap")
+    def sim(cap: Int) = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim(Int.MaxValue) == sim(1 << 30), "cap-free simhash pairs diverged from finite-cap")
+    val plan = Dedup.lshCandidatePairs(many, "doc_id", "text", 8, 4,
+      maxBucketSize = Int.MaxValue).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cap-free path still plans a Window:\n$plan")
+    // IdPairs == the declarative flatten(transform(..slice..)) expansion it
+    // replaced — element-for-element, ORDER included (posexplode pins it)
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val idsDf = Seq(Seq(3L, 5L, 9L, 12L), Seq(1L), Seq.empty[Long], Seq(7L, 8L)).toDF("ids")
+    def rows(c: org.apache.spark.sql.Column) = idsDf
+      .select(posexplode(c).as(Seq("i", "p")))
+      .select(col("i"), col("p.id1"), col("p.id2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val nat = rows(bridge.column(graft.functions.IdPairs(bridge.expression(col("ids")))))
+    val decl = rows(flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id1"), y.as("id2"))))))
+    assert(nat == decl && nat.nonEmpty, s"IdPairs diverged: nat=$nat decl=$decl")
+  }
+
   test("text stats behave") {
     val r = docs.select(
       TextOps.tokenCount(col("text")).as("tc"),
@@ -304,10 +337,21 @@ class PipelineSpec extends SparkSpec {
     }
     val df = data.toDF("vec_id", "embedding").repartition(4).cache()
     val cents = Similarity.trainCentroids(df, "embedding", nCentroids = 4, sampleSize = 80)
-    def run(cap: Int) = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
-      threshold = 0.9, nProbe = 1, maxClusterSize = cap)
+    def run(cap: Int, nProbe: Int = 1) = Similarity.ivfNearDupPairs(df, "vec_id", "embedding",
+      cents, threshold = 0.9, nProbe = nProbe, maxClusterSize = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(4096) == run(1000000), "capped path changed results below the cap")
+    // r6 cap-free regime: score-once (ProbeOwner) + windowless must emit the
+    // same set as the windowed score-everywhere + distinct path, at nProbe=1
+    // (no shared clusters beyond the own one) AND nProbe>1 (multi-cluster
+    // pair dedup exercised)
+    assert(run(Int.MaxValue) == run(1000000), "cap-free path diverged at nProbe=1")
+    assert(run(Int.MaxValue, nProbe = 3) == run(1000000, nProbe = 3),
+      "cap-free score-once path diverged at nProbe=3")
+    val cfPlan = Similarity.ivfNearDupPairs(df, "vec_id", "embedding", cents,
+      threshold = 0.9, nProbe = 3, maxClusterSize = Int.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(!cfPlan.contains("Window"), s"cap-free ivf path still plans a Window:\n$cfPlan")
     assert(Similarity.suggestNCentroids(1000000L) == 1000)
     assert(Similarity.suggestNCentroids(10L) == 16)
   }
