@@ -29,6 +29,25 @@ object SparkEntry {
       ratio = true, product = true)
   }
 
+  /** Unsplittable-input spread (optimization guide §2.5 "one huge
+    * unsplittable file → repartition immediately after the read"): every
+    * driver fixture is a SINGLE one-row-group parquet file, so a scan — and
+    * every narrow map stage above it (md5 winnowing/minhash, sketches,
+    * codecs, n-gram explodes, regex redaction) — runs as ONE task no matter
+    * how many cores the session has. Queries whose per-row CPU dominates
+    * repartition once after the read: HASH repartition on the id column
+    * (deterministic row placement, retry-safe, and no sortBeforeRepartition
+    * pass — a keyless round-robin repartition first sorts its input), with
+    * a PINNED partition count from the session's shuffle-partition conf
+    * (scale-adaptive, never a local constant; pinning stops AQE's byte-based
+    * coalescing from re-serializing a CPU-bound stage). Results are
+    * partitioning-invariant for every operator this feeds (content-derived
+    * aggregates/joins; the gate family additionally pins invariance in its
+    * specs), re-proven by the oracle gate after the change.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- point-in-time layer: lag / cumulative / sessionization (§2.10)
@@ -231,7 +250,8 @@ object SparkEntry {
     // rule (full-enumeration oracle).
     "q_audio_neardup" -> ((s, dir) => {
       import graft.pipeline.Multimodal
-      val d = s.read.parquet(s"$dir/documents.parquet").filter(col("text").isNotNull)
+      val d = spread(s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull), "doc_id")
       val payload = concat((0 until 8).map(k =>
         unhex(md5(encode(concat(col("text"), lit(s"~$k")), "UTF-8")))): _*)
       val media = d.select(col("doc_id").as("media_id"),
@@ -241,7 +261,7 @@ object SparkEntry {
     }),
 
     "q_text_stats" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       d.select(
         col("doc_id"),
         graft.pipeline.TextOps.tokenCount(col("text")).cast("long").as("token_count"),
@@ -307,7 +327,7 @@ object SparkEntry {
     // ---- minhash signatures over word 3-grams (one md5 per gram, family by
     // modular arithmetic; native minhash_signature expression when loaded)
     "q_minhash" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       d.select(col("doc_id"),
           posexplode(graft.pipeline.Dedup.minhashSignature(col("text"), 8))
             .as(Seq("hash_idx", "min_hash")))
@@ -325,7 +345,7 @@ object SparkEntry {
     // density the way nCentroids does for IVF — 8-bit bands put a 5k-doc
     // corpus at ~20 docs/bucket and quadratic within-bucket work
     "q_simhash_pairs" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       // cap-free: the DuckDB oracle enumerates ALL within-bucket pairs, so
       // the hub-star cap must be disabled here or a >4096-doc band bucket at
       // a larger scale factor would diverge from the oracle (the capped
@@ -340,7 +360,7 @@ object SparkEntry {
     // them; the BPE-id path is golden-pinned in BpeSpec (merges aren't
     // SQL-expressible). Output exploded to scalars for a robust compare.
     "q_pack_ids" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       val words = filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0)
       val ids = transform(words, w =>
         pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(32768L)).cast("int"))
@@ -420,14 +440,14 @@ object SparkEntry {
     // whose k-gram fingerprint repeats corpus-wide, merged into maximal
     // spans; first occurrence by (doc_id, pos) is kept
     "q_winnow_spans" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       graft.pipeline.Dedup.duplicateSpans(d, "doc_id", "text", k = 20, w = 8)
     }),
 
     // ---- substring-level dedup: normalized text with duplicated spans
     // cut out, every input doc present (0 removed when span-free)
     "q_substring_dedup" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       graft.pipeline.Dedup.substringDedup(d, "doc_id", "text", k = 20, w = 8)
     }),
 
@@ -752,7 +772,7 @@ object SparkEntry {
     // match counts; PII is synthesized deterministically per doc because
     // the fixture contains none (patterns are Java-regex/RE2-identical)
     "q_redact" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       val withPii = d.select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
@@ -809,7 +829,7 @@ object SparkEntry {
     // materialized sequence packing; output exploded to scalars
     "q_curate_pack" -> ((s, dir) => {
       import graft.pipeline._
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       val gated = d.withColumn("q", TextOps.qualityScore(col("text")))
         .where(col("q") >= 0.5).select("doc_id", "text")
       val deduped = Dedup.substringDedup(gated, "doc_id", "text")

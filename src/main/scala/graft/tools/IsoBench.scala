@@ -130,6 +130,14 @@ object IsoBench {
       }
     }
 
+    // generic: `runMain graft.tools.IsoBench q <name1,name2,...>` times any
+    // declared queries with the noop sink
+    if (group == "q" && args.length > 1) {
+      args(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+        bench(s"q:$name") { noop(graft.SparkEntry.queries(name)(spark, sfDir)) }
+      }
+    }
+
     if (on("curate")) {
       bench("curate_pack_q_noop") {
         noop(graft.SparkEntry.queries("q_curate_pack")(spark, sfDir))
