@@ -130,6 +130,42 @@ object IsoBench {
       }
     }
 
+    // A/B the bucketedPairs formulations on the q_lsh_pairs config: the r5
+    // windowed shape (cap high enough that no bucket hits it) vs the r6
+    // windowless cap-free shape (pinned exchange), vs windowless WITHOUT
+    // the pin — separates the window-removal gain from the pin's fixed
+    // task overhead at bench scale.
+    if (on("lshab")) {
+      bench("lsh_r5_windowed_cap4096") {
+        noop(Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4,
+          maxBucketSize = 4096))
+      }
+      bench("lsh_r6_windowless_pinned") {
+        noop(Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4,
+          maxBucketSize = Int.MaxValue))
+      }
+      locally { // windowless, unpinned (AQE free to coalesce the agg read)
+        val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+        def pairStructs(ids: org.apache.spark.sql.Column) =
+          bridge.column(graft.functions.IdPairs(bridge.expression(ids)))
+        val numHashes = 8; val bands = 4; val rowsPerBand = numHashes / bands
+        val banded = docs.select(col("doc_id").as("id"),
+            Dedup.minhashSignature(col("text"), numHashes, 3).as("sig"))
+          .select(col("id"), posexplode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          )).as(Seq("band", "bucket")))
+        bench("lsh_r6_windowless_unpinned") {
+          noop(banded.groupBy(col("band"), col("bucket"))
+            .agg(sort_array(collect_list(col("id"))).as("ids"))
+            .filter(size(col("ids")) > 1)
+            .select(explode(pairStructs(col("ids"))).as("p"))
+            .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+            .distinct())
+        }
+      }
+    }
+
     // generic: `runMain graft.tools.IsoBench q <name1,name2,...>` times any
     // declared queries with the noop sink
     if (group == "q" && args.length > 1) {
