@@ -284,12 +284,21 @@ object BpeModel {
   * INCREMENTAL pair counting: pair counts live in a hash map, a
   * lazy-deletion heap serves the argmax, and each merge updates only the
   * words that actually contain the merged pair (delta counting) — zero
-  * Spark jobs per round instead of three. Corpora whose vocabulary
-  * exceeds the bound fall back to the distributed per-round recount
-  * unchanged. Both paths are merge-for-merge identical (same counts, same
-  * (count desc, a asc, b asc) tie-break — the local comparator orders by
-  * code points, which equals the distributed path's UTF-8 bytewise
-  * UTF8String order; BpeSpec pins local ≡ distributed ≡ Python golden).
+  * Spark jobs per round instead of three. Past `maxLocalWords`, the
+  * DISTRIBUTED regime is incremental too when the distinct adjacent-pair
+  * table fits under `maxLocalPairs` (pairs are symbol-alphabet-scale,
+  * far below word count): pair counts + heap live on the driver as in
+  * the local loop, but each round's delta is ONE distributed job over
+  * only the words containing the merged pair (filter + pair-delta
+  * aggregate + bounded collect) — no full recount, no per-round
+  * TakeOrdered, and the per-round shuffle is proportional to the pairs
+  * the merge actually touched. Only when BOTH bounds are exceeded does
+  * the original full per-round recount run. All paths are
+  * merge-for-merge identical (same counts, same (count desc, a asc,
+  * b asc) tie-break — the driver comparator orders by code points,
+  * which equals the distributed argmax's UTF-8 bytewise UTF8String
+  * order; BpeSpec pins local ≡ both distributed regimes ≡ Python
+  * golden).
   */
 object BpeTrainer {
 
@@ -305,13 +314,22 @@ object BpeTrainer {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
+  /** Adjacent (a, b, sign) pair structs of a symbol array — `zip_with`
+    * over the two length-(n-1) slices, so sub-2-length arrays yield an
+    * empty array with no sequence/guard needed.
+    */
+  private def adjPairsCol(sym: Column, sign: Int): Column =
+    zip_with(slice(sym, lit(1), size(sym) - 1), slice(sym, lit(2), size(sym) - 1),
+      (x, y) => struct(x.as("a"), y.as("b"), lit(sign.toLong).as("s")))
+
   /** Learn up to `nMerges` ranked merges from the corpus text column.
-    * `maxLocalWords` gates the driver-local incremental merge loop (see
-    * the object doc); vocabularies past the bound use the distributed
-    * per-round recount.
+    * `maxLocalWords` gates the driver-local incremental merge loop and
+    * `maxLocalPairs` the incremental DISTRIBUTED loop (see the object
+    * doc); only past both bounds does the full per-round recount run.
     */
   def train(corpus: DataFrame, textCol: String, nMerges: Int,
-            checkpointEvery: Int = 16, maxLocalWords: Int = 2000000): BpeModel = {
+            checkpointEvery: Int = 16, maxLocalWords: Int = 2000000,
+            maxLocalPairs: Long = 8000000L): BpeModel = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // ONE corpus scan: normalized word frequencies (the trainer's working
@@ -338,6 +356,26 @@ object BpeTrainer {
     var state = words
       .select(BpeModel.tokensCol(col("word"), baseModel).as("sym"), col("cnt"))
       .localCheckpoint(true) // materialize: later rounds never rescan the corpus
+    // incremental DISTRIBUTED regime: if the distinct adjacent-pair table
+    // fits on the driver, counts + argmax live there and each round runs
+    // ONE small delta job (see the object doc). The admission aggregate
+    // costs one recount-round equivalent up front; the same count+bounded-
+    // collect discipline as the word probe (never limit().collect()).
+    if (maxLocalPairs > 0) {
+      val pairAgg = state
+        .select(col("cnt"), explode(adjPairsCol(col("sym"), 1)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairAgg.count()
+      if (nPairs <= maxLocalPairs) {
+        val init = pairAgg.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        pairAgg.unpersist()
+        return new BpeModel(
+          trainDistributedIncremental(state, init, nMerges, checkpointEvery))
+      }
+      pairAgg.unpersist()
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var exhausted = false
@@ -361,6 +399,98 @@ object BpeTrainer {
       }
     }
     new BpeModel(merges.toArray)
+  }
+
+  /** Incremental distributed merge loop: pair counts + lazy-deletion heap
+    * on the driver (the [[trainLocalMerges]] machinery, minus the word
+    * index), the word table distributed. Per round: argmax locally (zero
+    * jobs), then ONE job computing the pair-count deltas of the words
+    * that contain the merged pair (−cnt for their old adjacent pairs,
+    * +cnt for the post-merge ones) with a bounded collect — pairs touched
+    * by one merge, not the full table.
+    *
+    * The symbol state is NEVER a chained interpreted lineage: each
+    * round's delta query is the single native
+    * [[graft.functions.BpeMergeDeltas]] expression over the LAST
+    * CHECKPOINT, folding the ≤ checkpointEvery pending merges in one JVM
+    * call per word (a first attempt chained when(contains, fold) Projects
+    * and the collapsed tree re-evaluated the interpreted fold ~9× per
+    * row — slower than the full recount it was replacing); every
+    * `checkpointEvery` rounds the pending merges are folded into a new
+    * materialized checkpoint by [[graft.functions.BpeFoldMerges]].
+    */
+  private def trainDistributedIncremental(state0: DataFrame,
+      init: Array[((String, String), Long)], nMerges: Int,
+      checkpointEvery: Int): Array[(String, String)] = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    var ckpt = state0
+    val pending = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val pc = new java.util.HashMap[(String, String), Long]()
+    init.foreach { case (p, c) => if (c > 0L) pc.put(p, c) }
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(q._1, p._1) // count DESC
+        if (c != 0) return c
+        val a = cpCompare(p._2, q._2) // a ASC
+        if (a != 0) a else cpCompare(p._3, q._3) // b ASC
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, pc.size()), heapOrd)
+    val it0 = pc.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      heap.add((e.getValue, e.getKey._1, e.getKey._2))
+    }
+    val dirty = new java.util.HashSet[(String, String)]()
+    def bump(pair: (String, String), delta: Long): Unit = {
+      val now = pc.getOrDefault(pair, 0L) + delta
+      if (now <= 0L) pc.remove(pair) else pc.put(pair, now)
+      dirty.add(pair)
+    }
+    def flushDirty(): Unit = {
+      val it = dirty.iterator()
+      while (it.hasNext) {
+        val pair = it.next()
+        val now = pc.getOrDefault(pair, 0L)
+        if (now > 0L) heap.add((now, pair._1, pair._2))
+      }
+      dirty.clear()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      // pop until a live (count matches pc) entry surfaces — lazy deletion
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val top = heap.poll()
+        val pair = (top._2, top._3)
+        if (pc.getOrDefault(pair, 0L) == top._1) best = pair
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best
+        merges += ((a, b))
+        val deltaCol = bridge.column(graft.functions.BpeMergeDeltas(
+          bridge.expression(col("sym")), pending.toArray, a, b))
+        val deltas = ckpt
+          .select(col("cnt"), explode(deltaCol).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt") * col("p.s")).as("dc"))
+          .filter(col("dc") =!= 0L)
+          .collect()
+        deltas.foreach(r => bump((r.getString(0), r.getString(1)), r.getLong(2)))
+        flushDirty()
+        pending += ((a, b))
+        if (pending.length >= checkpointEvery) {
+          val foldCol = bridge.column(graft.functions.BpeFoldMerges(
+            bridge.expression(col("sym")), pending.toArray))
+          ckpt = ckpt.select(foldCol.as("sym"), col("cnt")).localCheckpoint(true)
+          pending.clear()
+        }
+      }
+    }
+    merges.toArray
   }
 
   /** Code-point lexicographic comparison — equal to UTF-8 bytewise order

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * token-less docs. Perplexity = exp(-ll).
   *
   * Scale shape: training is two groupBy-count aggregations (unigrams,
-  * idx-mapped bigrams via broadcast vocab joins) — map-side combinable,
+  * idx-mapped bigrams via the native packed-key expression
+  * [[graft.functions.LmBigramKeys]] — one long shuffle key, no vocab
+  * join) — map-side combinable,
   * never a collect of raw rows; the model (<= V + bigram entries) ships
   * once per task as a reference object inside the codegen'd
   * [[graft.functions.LmScore]] expression, so scoring is a single map
@@ -111,22 +113,20 @@ object LangModel {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     uni.unpersist()
     val unkCount = total - voc.map(_._2).sum
-    val spark = ref.sparkSession
-    import spark.implicits._
-    val vocDf = broadcast(
-      voc.zipWithIndex.map { case ((w, _), i) => (w, i) }.toSeq.toDF("w", "i"))
-    val bg0 = t.filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
-        struct(element_at(col("ws"), (i + 1).cast("int")).as("a"),
-          element_at(col("ws"), (i + 2).cast("int")).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-    val unkIdx = voc.length
-    val bgGrouped = bg0
-      .join(vocDf.withColumnRenamed("w", "a").withColumnRenamed("i", "ia"), Seq("a"), "left")
-      .join(vocDf.withColumnRenamed("w", "b").withColumnRenamed("i", "ib"), Seq("b"), "left")
-      .select(coalesce(col("ia"), lit(unkIdx)).cast("long").as("i1"),
-        coalesce(col("ib"), lit(unkIdx)).cast("long").as("i2"))
-      .groupBy("i1", "i2").agg(count(lit(1)).as("c"))
+    // idx-mapped bigram counts through the native packed-key expression
+    // (graft.functions.LmBigramKeys): one hash lookup per token instead of
+    // a transform+struct lambda per bigram plus two BroadcastHashJoins
+    // against a vocab frame, and the shuffle key narrows from two strings
+    // to one long. The emitted keys are the exact packed
+    // (idx(prev) << 32 | idx(cur)) longs the collect below previously
+    // assembled, unseen/null tokens -> unkIdx = |vocab| as the left-join +
+    // coalesce formulation produced (LangModelSpec pins the parity).
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val keysCol = bridge.column(graft.functions.LmBigramKeys(
+      bridge.expression(col("ws")), voc.map(_._1)))
+    val bgGrouped = t.filter(size(col("ws")) >= 2)
+      .select(explode(keysCol).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minBigramCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fail fast BEFORE the collect: at web scale the idx-mapped bigram
@@ -139,7 +139,7 @@ object LangModel {
         s"raise minBigramCount (currently $minBigramCount), lower vocabSize " +
         s"(currently $vocabSize), or raise maxModelBigrams explicitly")
     val bg = bgGrouped
-      .collect().map(r => ((r.getLong(0) << 32) | (r.getLong(1) & 0xFFFFFFFFL), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     bgGrouped.unpersist()
     new LmModel(voc.map(_._1), voc.map(_._2), unkCount,
       bg.map(_._1), bg.map(_._2), total, addK)

@@ -104,6 +104,46 @@ object BenchExtra {
       }
     }
 
+    // ---- q_lm_score decomposition: train vs score, and train's two
+    // corpus scans (unigram agg+collects vs bigram explode+joins+agg)
+    locally {
+      val ref = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      bench("lm_train_only") {
+        LangModel.train(ref, "text", vocabSize = 256)
+      }
+      locally {
+        val model = LangModel.train(ref, "text", vocabSize = 256)
+        bench("lm_score_only_noop") {
+          noop(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+            .select(col("doc_id"), LangModel.scoreCol(col("text"), model).as("s")))
+        }
+      }
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0)
+      val t = ref.select(toks.as("ws"))
+      bench("lm_stage_uni_agg_noop") {
+        noop(t.select(explode(col("ws")).as("w")).groupBy("w").agg(count(lit(1)).as("c")))
+      }
+      bench("lm_stage_bigram_explode_agg_noop") {
+        noop(t.filter(size(col("ws")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+            struct(element_at(col("ws"), (i + 1).cast("int")).as("a"),
+              element_at(col("ws"), (i + 2).cast("int")).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("c")))
+      }
+    }
+
+    // ---- distributed BPE regimes (forced past the driver-local bound):
+    // incremental delta loop (default) vs the original full per-round
+    // recount (maxLocalPairs = 0), 40 merges each
+    bench("bpe_train_distributed_40") {
+      BpeTrainer.train(docs.filter(col("doc_id") < 2000L), "text",
+        nMerges = 40, maxLocalWords = 0)
+    }
+    bench("bpe_train_dist_recount_40") {
+      BpeTrainer.train(docs.filter(col("doc_id") < 2000L), "text",
+        nMerges = 40, maxLocalWords = 0, maxLocalPairs = 0L)
+    }
+
     // ---- winnow chain decomposition
     bench("winnow_fp_scan_noop") {
       noop(Dedup.winnowFingerprints(docs, "doc_id", "text", 20, 8))

@@ -105,21 +105,30 @@ class BpeSpec extends SparkSpec {
     assert(BpeModel.loadFile(mPath).merges.toSeq == trained.merges.toSeq)
   }
 
-  test("distributed per-round recount ≡ local incremental loop (merge-for-merge)") {
-    // maxLocalWords = 0 forces the distributed regime; the default path on
-    // this fixture takes the driver-local incremental loop — both must
-    // produce the IDENTICAL ranked merge list (and both equal the Python
-    // golden via the test above, whose default path is now the local loop)
+  test("distributed regimes (incremental delta AND full recount) ≡ Python golden") {
+    // maxLocalWords = 0 forces the distributed regime, whose default is
+    // now the incremental delta loop (driver pair counts, one delta job
+    // per round); maxLocalPairs = 0 additionally forces the original full
+    // per-round recount. Both must produce the IDENTICAL ranked merge
+    // list as the Python golden (and thus as the default driver-local
+    // loop, pinned by the test above).
     val src = scala.io.Source.fromFile(res("/fixtures/bpe_corpus.txt"), "UTF-8")
     val corpusLines = try src.getLines().toVector finally src.close()
     val corpus = corpusLines.toDF("text").repartition(3)
-    val dist = BpeTrainer.train(corpus, "text", nMerges = 200, checkpointEvery = 16,
+    val inc = BpeTrainer.train(corpus, "text", nMerges = 200, checkpointEvery = 16,
       maxLocalWords = 0)
-    assert(dist.merges.length == model.merges.length,
-      s"${dist.merges.length} vs ${model.merges.length}")
-    dist.merges.zip(model.merges).zipWithIndex.foreach { case ((got, exp), i) =>
-      assert(got == exp, s"merge $i: $got vs $exp")
+    assert(inc.merges.length == model.merges.length,
+      s"${inc.merges.length} vs ${model.merges.length}")
+    inc.merges.zip(model.merges).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"incremental merge $i: $got vs $exp")
     }
+    val rec = BpeTrainer.train(corpus, "text", nMerges = 200, checkpointEvery = 16,
+      maxLocalWords = 0, maxLocalPairs = 0L)
+    assert(rec.merges.toSeq == model.merges.toSeq, "recount fallback diverged")
+    // early exhaustion holds in the incremental distributed regime too
+    val tiny = BpeTrainer.train(Seq("ab ab").toDF("text"), "text", nMerges = 50,
+      maxLocalWords = 0)
+    assert(tiny.merges.length < 50 && tiny.tokenize("ab").toSeq == Seq("ab</w>"))
   }
 
   test("byte-fallback encoder matches the Python golden and round-trips") {

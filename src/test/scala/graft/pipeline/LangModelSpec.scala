@@ -101,6 +101,66 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("native lm_bigram_keys ≡ declarative join formulation (adversarial + fixture)") {
+    // the trainer's bigram table now comes from graft.functions.LmBigramKeys;
+    // this pins it entry-for-entry against the r5 formulation it replaced
+    // (transform+struct explode, two left joins on a vocab frame,
+    // coalesce(unkIdx)) on token arrays with unseen tokens, null elements,
+    // supplementary code points, repeats, and sub-2-length arrays
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val vocab = Array("a", "b", "😀", "x y", "")
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "a", "a"), Seq("zzz", "a"), Seq("a"), Seq(),
+      Seq("😀", "b", "😀"), Seq("x y", "x", "y"),
+      Seq(null, "a", null), Seq("", "a", ""), Seq("b", "b", "b", "unseen"))
+    val df = rows.toDF("ws")
+    val native = df.filter(size(col("ws")) >= 2)
+      .select(explode(bridge.column(graft.functions.LmBigramKeys(
+        bridge.expression(col("ws")), vocab))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val unkIdx = vocab.length
+    val vocDf = broadcast(vocab.zipWithIndex.toSeq.toDF("w", "i"))
+    val joined = df.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+        struct(element_at(col("ws"), (i + 1).cast("int")).as("a"),
+          element_at(col("ws"), (i + 2).cast("int")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .join(vocDf.withColumnRenamed("w", "a").withColumnRenamed("i", "ia"), Seq("a"), "left")
+      .join(vocDf.withColumnRenamed("w", "b").withColumnRenamed("i", "ib"), Seq("b"), "left")
+      .select(coalesce(col("ia"), lit(unkIdx)).cast("long").as("i1"),
+        coalesce(col("ib"), lit(unkIdx)).cast("long").as("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getLong(0) << 32) | (r.getLong(1) & 0xFFFFFFFFL), r.getLong(2)))
+      .toMap
+    assert(native === joined)
+    // and on the real fixture corpus with the trained vocab
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val m = LangModel.train(d, "text", vocabSize = 64)
+    val t = d.select(filter(split(trim(lower(col("text"))), "\\s+"),
+      w => length(w) > 0).as("ws")).filter(size(col("ws")) >= 2)
+    val nat = t.select(explode(bridge.column(graft.functions.LmBigramKeys(
+        bridge.expression(col("ws")), m.vocab))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vd = broadcast(m.vocab.zipWithIndex.toSeq.toDF("w", "i"))
+    val jf = t.select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+        struct(element_at(col("ws"), (i + 1).cast("int")).as("a"),
+          element_at(col("ws"), (i + 2).cast("int")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .join(vd.withColumnRenamed("w", "a").withColumnRenamed("i", "ia"), Seq("a"), "left")
+      .join(vd.withColumnRenamed("w", "b").withColumnRenamed("i", "ib"), Seq("b"), "left")
+      .select(coalesce(col("ia"), lit(m.vocab.length)).cast("long").as("i1"),
+        coalesce(col("ib"), lit(m.vocab.length)).cast("long").as("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getLong(0) << 32) | (r.getLong(1) & 0xFFFFFFFFL), r.getLong(2)))
+      .toMap
+    assert(nat === jf)
+    // the model's persisted bigram pairs are exactly the filtered agg
+    assert(m.bigramPairs.toMap === nat.filter(_._2 >= 1L))
+  }
+
   test("quality-filter property: reference-register text outscores gibberish") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val model = LangModel.train(d, "text", vocabSize = 256)
