@@ -102,6 +102,21 @@ object BenchExtra {
       bench("nb_stage_label_scan_only") {
         noop(d)
       }
+      // native char_ngrams formulation — what LangId.train's gramsCol
+      // actually dispatches to under GraftExtensions. The declarative
+      // probe above is the O(len²) FALLBACK, not the trained path: the
+      // real stage cost is ~0.33 s, not ~1.0 s. A packed-code-point-long
+      // gram key variant was built, measured at 0.324 s vs this probe's
+      // 0.335 s (explode machinery dominates, not key width), and
+      // REVERTED — no measured win to justify re-keying three
+      // oracle-replayed NB trainers.
+      val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+      val ng = bridge.column(graft.functions.CharNgrams(
+        bridge.expression(col("t")), n))
+      bench("nb_stage_native_gram_explode_agg") {
+        noop(d.select(col("lang"), explode(ng).as("gram"))
+          .groupBy("lang", "gram").agg(count(lit(1)).as("c")))
+      }
     }
 
     // ---- q_lm_score decomposition: train vs score, and train's two
